@@ -1,0 +1,116 @@
+"""Reference-compatible chain-file output.
+
+File layout parity with ``_writeToFile`` (PTMCMCSampler.py:722-766):
+  * ``chain_<temp>.txt`` (or ``chain_hot.txt`` for the prior-sampling chain,
+    :281-285): rows of ``ndim + 4`` columns — parameters (%22.22f,
+    tab-separated), then log-posterior, log-likelihood, cumulative acceptance
+    rate, PT swap acceptance rate (%f each);
+  * ``jumps.txt``: each proposal's share of the cycle (:752-760);
+  * ``<jumpname>_jump.txt``: per-proposal acceptance-rate time series,
+    appended at every write (:762-766);
+  * ``cov.npy``: current proposal covariance (:349-351).
+
+A C++ fast path for row formatting (csrc/chainio.cpp) is used when the
+extension library has been built; the numpy path is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .native import format_rows_native
+
+
+def chain_filename(outdir, temp, hot=False):
+    if hot:
+        return os.path.join(outdir, "chain_hot.txt")
+    return os.path.join(outdir, "chain_{0}.txt".format(temp))
+
+
+def format_rows(params, lnprob, lnlike, accept_rate, pt_accept_rate):
+    """Format rows as the reference writes them (PTMCMCSampler.py:741-745)."""
+    n, ndim = params.shape
+    native = format_rows_native(params, lnprob, lnlike, accept_rate, pt_accept_rate)
+    if native is not None:
+        return native
+    lines = []
+    for i in range(n):
+        cols = "\t".join("%22.22f" % params[i, k] for k in range(ndim))
+        lines.append(
+            cols
+            + "\t%f\t%f\t%f\t%f\n"
+            % (lnprob[i], lnlike[i], accept_rate[i], pt_accept_rate[i])
+        )
+    return "".join(lines)
+
+
+class ChainWriter:
+    """Per-temperature chain files + jump statistics for one sampler run."""
+
+    def __init__(self, outdir, ladder, hot_chain=False, write_hot_chains=False, resume=False):
+        self.outdir = outdir
+        self.ladder = np.asarray(ladder, dtype=np.float64)
+        self.hot_chain = hot_chain
+        self.write_hot_chains = write_hot_chains
+        os.makedirs(outdir, exist_ok=True)
+        self.ntemps = len(self.ladder)
+        self.fnames = []
+        for i, temp in enumerate(self.ladder):
+            hot = hot_chain and i == self.ntemps - 1 and self.ntemps > 1
+            self.fnames.append(chain_filename(outdir, temp, hot=hot))
+        if not resume:
+            for i, fn in enumerate(self.fnames):
+                if self._writes_temp(i):
+                    open(fn, "w").close()
+
+    def _writes_temp(self, i):
+        # Reference: rank 0 always writes; hot chains only with writeHotChains
+        # (PTMCMCSampler.py:346).
+        return i == 0 or self.write_hot_chains
+
+    def existing_rows(self, i):
+        fn = self.fnames[i]
+        if not os.path.isfile(fn):
+            return None
+        try:
+            data = np.loadtxt(fn, ndmin=2)
+        except ValueError as err:  # PTMCMCSampler.py:297-299
+            raise RuntimeError("Couldn't read old chain to resume") from err
+        return data
+
+    def append(self, i, params, lnprob, lnlike, accept_rate, pt_accept_rate):
+        if not self._writes_temp(i):
+            return
+        text = format_rows(
+            np.asarray(params, np.float64),
+            np.asarray(lnprob, np.float64),
+            np.asarray(lnlike, np.float64),
+            np.asarray(accept_rate, np.float64),
+            np.asarray(pt_accept_rate, np.float64),
+        )
+        with open(self.fnames[i], "a") as f:
+            f.write(text)
+
+    def write_cov(self, cov):
+        np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))
+
+    def init_jump_files(self, jump_names, resume=False):
+        if resume:
+            return
+        for name in jump_names:
+            open(os.path.join(self.outdir, name + "_jump.txt"), "w").close()
+
+    def write_jump_stats(self, jump_names, weights, proposed, accepted):
+        """jumps.txt cycle fractions + per-jump acceptance append
+        (PTMCMCSampler.py:749-766)."""
+        weights = np.asarray(weights, dtype=np.float64)
+        total = max(weights.sum(), 1.0)
+        with open(os.path.join(self.outdir, "jumps.txt"), "w") as f:
+            for name, w in zip(jump_names, weights):
+                f.write("%s %4.2g\n" % (name, w / total))
+        for j, name in enumerate(jump_names):
+            rate = accepted[j] / max(1.0, proposed[j])
+            with open(os.path.join(self.outdir, name + "_jump.txt"), "a") as f:
+                f.write("%g\n" % rate)

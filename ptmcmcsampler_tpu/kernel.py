@@ -1,0 +1,232 @@
+"""The per-iteration sampler kernel and the scanned block runner.
+
+This is the TPU-native replacement for the reference's hot loop
+(``sample`` while-loop + ``PTMCMCOneStep``, PTMCMCSampler.py:499-629):
+one pure function ``step(state) -> state`` containing
+
+  proposal -> prior/likelihood -> tempered MH accept -> (cadenced) PT swap
+  -> history/adaptation updates
+
+for the whole [ntemps, nchains] replica batch at once, wrapped in
+``lax.scan`` blocks that emit thinned samples. The reference's per-iteration
+``comm.barrier()``/``bcast`` (:501, :523) vanish into SPMD program order, and
+the rank-0 covariance/DE broadcasts (:545-576) become redundant because every
+device computes identical adaptation state from collective-visible data.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import adaptation, swaps, utils
+from .config import SamplerConfig
+from .proposals.base import ProposalContext
+from .proposals.cycle import build_aux_chain, build_jump_branches, jump_probabilities
+from .state import SamplerState
+
+
+class BlockOutput(NamedTuple):
+    """Thinned rows emitted by one scanned block."""
+
+    x: jax.Array  # [rows, T, C, D]
+    lnlike: jax.Array  # [rows, T, C]
+    lnprob: jax.Array  # [rows, T, C]
+
+
+def _ss_to_dict(ss):
+    return dict(
+        epsilon=ss.epsilon, epsilonbar=ss.epsilonbar, hbar=ss.hbar, mu=ss.mu, ncalls=ss.ncalls
+    )
+
+
+def _ss_from_dict(ss, d):
+    return ss.replace(
+        epsilon=d["epsilon"],
+        epsilonbar=d["epsilonbar"],
+        hbar=d["hbar"],
+        mu=d["mu"],
+        ncalls=d["ncalls"],
+    )
+
+
+def make_context(state: SamplerState) -> ProposalContext:
+    return ProposalContext(
+        group_u=state.adapt.group_u,
+        group_s=state.adapt.group_s,
+        chol=state.adapt.chol,
+        chol_inv=state.adapt.chol_inv,
+        de_buf=state.de.buf,
+        de_valid=adaptation.de_valid_rows(state.de),
+    )
+
+
+def _accept_logratio(new_ll, new_lp, old_ll, old_lp, qxy, betas):
+    """MH log-ratio with the reference's -inf semantics (PTMCMCSampler.py:605-616)."""
+    new = utils.tempered_lnprob(new_ll, new_lp, betas)
+    old = utils.tempered_lnprob(old_ll, old_lp, betas)
+    raw = qxy + new - old
+    raw = jnp.where(jnp.isneginf(new), -jnp.inf, raw)  # always reject into -inf
+    raw = jnp.where(jnp.isneginf(old) & ~jnp.isneginf(new), jnp.inf, raw)
+    return jnp.where(jnp.isnan(raw), -jnp.inf, raw)
+
+
+def build_step(
+    config: SamplerConfig,
+    logl: Callable,
+    logp: Callable,
+    func_grad: Optional[Callable] = None,
+):
+    """Build the pure one-iteration kernel.
+
+    ``logl(x[D]) -> scalar`` and ``logp(x[D]) -> scalar`` are single-chain
+    JAX-traceable callables (the sampler driver wraps user functions);
+    ``func_grad(x[D], beta) -> (val, grad[D])`` is the tempered log-density
+    with gradient for the gradient jump family (nutsjump.py:71-76).
+    """
+    t, c, _ = config.ntemps, config.nchains, config.ndim
+
+    logl_b = jax.vmap(jax.vmap(logl))
+    logp_b = jax.vmap(jax.vmap(logp))
+
+    branches = build_jump_branches(config, func_grad)
+    aux_chain = build_aux_chain(config)
+    n_aux = len(config.aux_jumps)
+
+    def propose(key, state: SamplerState, it):
+        """Draw a jump from the cycle and apply it (reference ``_jump``,
+        PTMCMCSampler.py:1048-1067)."""
+        ctx = make_context(state)
+        ss = _ss_to_dict(state.stepsize)
+        k_kind, k_jump, k_aux = jax.random.split(key, 3)
+        probs = jump_probabilities(config, it).astype(jnp.float32)
+        logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
+        keys = jax.random.split(k_jump, t * c).reshape(t, c, -1)
+
+        if config.jump_select == "shared":
+            jidx = jax.random.categorical(k_kind, logits)
+            q, qxy, new_ss = jax.lax.switch(
+                jidx, branches, keys, state.x, state.betas, it, ctx, ss
+            )
+            jidx_full = jnp.broadcast_to(jidx, (t, c))
+        else:
+            jidx_full = jax.random.categorical(k_kind, logits, shape=(t, c))
+            # Evaluate every (cheap) branch and select per chain.
+            outs = [b(keys, state.x, state.betas, it, ctx, ss) for b in branches]
+            qs = jnp.stack([o[0] for o in outs])  # [J, T, C, D]
+            qxys = jnp.stack([o[1] for o in outs])  # [J, T, C]
+            q = jnp.take_along_axis(qs, jidx_full[None, :, :, None], axis=0)[0]
+            qxy = jnp.take_along_axis(qxys, jidx_full[None], axis=0)[0]
+            new_ss = ss
+
+        if aux_chain is not None:
+            aux_keys = jax.random.split(k_aux, t * c * n_aux).reshape(t, c, n_aux, -1)
+            q, qxy = aux_chain(aux_keys, state.x, q, qxy, state.betas, it)
+
+        return q, qxy, jidx_full, _ss_from_dict(state.stepsize, new_ss)
+
+    def mh_step(key, state: SamplerState, it):
+        k_prop, k_acc = jax.random.split(key)
+        q, qxy, jidx, new_sstate = propose(k_prop, state, it)
+
+        # Prior first; likelihood evaluated on a prior-feasible surrogate so
+        # -inf-prior proposals never feed NaNs into the likelihood
+        # (reference short-circuit, PTMCMCSampler.py:605-612).
+        new_lp = logp_b(q)
+        feasible = ~jnp.isneginf(new_lp)
+        q_safe = jnp.where(feasible[:, :, None], q, state.x)
+        new_ll = jnp.where(feasible, logl_b(q_safe), -jnp.inf)
+
+        betas = state.betas[:, None]
+        logr = _accept_logratio(new_ll, new_lp, state.lnlike, state.lnprior, qxy, betas)
+        u = jax.random.uniform(k_acc, (t, c))
+        accept = logr > jnp.log(jnp.maximum(u, 1e-37))
+
+        x = jnp.where(accept[:, :, None], q, state.x)
+        lnlike = jnp.where(accept, new_ll, state.lnlike)
+        lnprior = jnp.where(accept, new_lp, state.lnprior)
+
+        ctr = state.counters
+        one_hot = jax.nn.one_hot(jidx, config.njumps, dtype=jnp.int32)  # [T,C,J]
+        proposed = jnp.moveaxis(one_hot, -1, 0)
+        ctr = ctr.replace(
+            naccepted=ctr.naccepted + accept.astype(jnp.int32),
+            jump_proposed=ctr.jump_proposed + proposed,
+            jump_accepted=ctr.jump_accepted + proposed * accept.astype(jnp.int32)[None],
+        )
+        return state.replace(
+            x=x, lnlike=lnlike, lnprior=lnprior, counters=ctr, stepsize=new_sstate
+        )
+
+    def pt_swap(key, state: SamplerState, it):
+        """Cadenced replica exchange (PTMCMCSampler.py:624-625, :631-697)."""
+        if t <= 1:
+            return state
+
+        def do_swap(st):
+            if config.swap_mode == "sweep":
+                swap_map, accepted = swaps.sweep_swap_map(key, st.lnlike, st.betas)
+            else:
+                parity = (it // config.tskip) % 2
+                swap_map, accepted = swaps.deo_swap_map(key, st.lnlike, st.betas, parity)
+            x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
+            ctr = st.counters.replace(
+                swaps_proposed=st.counters.swaps_proposed + 1,
+                swaps_accepted=st.counters.swaps_accepted + accepted.astype(jnp.int32),
+            )
+            return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr)
+
+        return jax.lax.cond(it % config.tskip == 0, do_swap, lambda s: s, state)
+
+    def history_updates(state: SamplerState, it):
+        """Post-step history: Welford moments, DE ring, cadenced factor refresh
+        (reference updateChains :321-339 + _updateRecursive/_updateDEbuffer)."""
+        if config.adapt_from == "all":
+            xs = state.x.reshape(t * c, config.ndim)
+        else:
+            xs = state.x[0]  # cold-temperature chains (reference: rank 0, :327)
+        adapt = adaptation.welford_batch_update(state.adapt, xs)
+        de = adaptation.de_buffer_push(state.de, state.x[0])
+
+        # The reference refreshes at the top of iteration k*covUpdate + 1 from
+        # the previous covUpdate samples (PTMCMCSampler.py:545-546); refreshing
+        # at the end of iteration k*covUpdate consumes the identical sample
+        # set, so the factors first apply at the same iteration.
+        refresh_due = (it % config.cov_update == 0) & (it > 0)
+        adapt = jax.lax.cond(
+            refresh_due,
+            lambda a: adaptation.refresh_factors(config, a),
+            lambda a: a,
+            adapt,
+        )
+        return state.replace(adapt=adapt, de=de)
+
+    def step(state: SamplerState) -> SamplerState:
+        it = state.it + 1
+        key, k_step, k_swap = jax.random.split(state.key, 3)
+        state = state.replace(key=key, it=it)
+        state = mh_step(k_step, state, it)
+        state = pt_swap(k_swap, state, it)
+        state = history_updates(state, it)
+        return state
+
+    def record_chunk(state: SamplerState, _):
+        """Advance ``thin`` iterations and emit one thinned row
+        (reference records when iter % thin == 0, PTMCMCSampler.py:331-335)."""
+        state = jax.lax.fori_loop(0, config.thin, lambda i, s: step(s), state)
+        out = BlockOutput(
+            x=state.x,
+            lnlike=state.lnlike,
+            lnprob=utils.tempered_lnprob(state.lnlike, state.lnprior, state.betas[:, None]),
+        )
+        return state, out
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run_block(state: SamplerState, nrows: int):
+        """Run ``nrows * thin`` iterations, returning thinned samples."""
+        return jax.lax.scan(record_chunk, state, length=nrows)
+
+    return step, run_block

@@ -1,0 +1,183 @@
+"""Weighted proposal-cycle machinery as a stochastic `lax.switch`.
+
+Reference behavior reproduced (PTMCMCSampler.py:987-1067):
+  * each proposal enters the cycle with an integer weight; a uniform draw over
+    the cycle picks the proposal, so pick probability = weight/sum(weights)
+    (:1058-1059 — the reference's shuffled cycle is never actually read, an
+    independent uniform index is drawn every iteration, which is what we do);
+  * the DE jump only enters the cycle after burn-in (:579-585), expressed here
+    as an activation mask on the weights;
+  * auxiliary jumps run after every standard proposal, with summed log_qxy
+    (:1062-1065).
+
+TPU-native design: in ``jump_select="shared"`` mode one kind is drawn per
+iteration (independent of all chain states, so each chain still evolves by the
+same mixture kernel) and dispatched through a scalar-index ``lax.switch`` —
+at runtime only the selected family's cost is paid, so cheap AM iterations
+never pay for NUTS trajectories. ``per_chain`` mode draws a kind per chain and
+pays a masked-select over the (cheap-only) branches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    KIND_AM,
+    KIND_CUSTOM,
+    KIND_DE,
+    KIND_HMC,
+    KIND_MALA,
+    KIND_NUTS,
+    KIND_SCAM,
+    SamplerConfig,
+)
+from . import am, de, gradient, nuts
+from .base import ProposalContext
+
+
+def _wrap_legacy(fn, ndim, dtype):
+    """Adapt a legacy numpy proposal ``f(x, iter, beta) -> (q, lqxy)`` via
+    ``pure_callback`` (host round-trip; correctness fallback, not the fast
+    path). Mirrors the reference custom-jump protocol (tests/test_simple.py:50-62)."""
+
+    def host(x, it, beta):
+        q, lqxy = fn(np.asarray(x, np.float64), int(it), float(beta))
+        return np.asarray(q, dtype), np.asarray(lqxy, dtype).reshape(())
+
+    def wrapped(key, x, beta, it, ctx):
+        del key, ctx
+        out_shapes = (
+            jax.ShapeDtypeStruct((ndim,), dtype),
+            jax.ShapeDtypeStruct((), dtype),
+        )
+        q, lqxy = jax.pure_callback(host, out_shapes, x, it, beta, vmap_method="sequential")
+        return q, lqxy
+
+    return wrapped
+
+
+def _wrap_legacy_aux(fn, ndim, dtype):
+    def host(x0, q, it, beta):
+        qn, lqxy = fn(np.asarray(x0, np.float64), np.asarray(q, np.float64), int(it), float(beta))
+        return np.asarray(qn, dtype), np.asarray(lqxy, dtype).reshape(())
+
+    def wrapped(key, x0, q, it, beta):
+        del key
+        out_shapes = (
+            jax.ShapeDtypeStruct((ndim,), dtype),
+            jax.ShapeDtypeStruct((), dtype),
+        )
+        return jax.pure_callback(host, out_shapes, x0, q, it, beta, vmap_method="sequential")
+
+    return wrapped
+
+
+def _single_chain_kernel(spec, config: SamplerConfig, func_grad):
+    kind = spec.kind
+    if kind == KIND_SCAM:
+        return am.make_scam(config)
+    if kind == KIND_AM:
+        return am.make_am(config)
+    if kind == KIND_DE:
+        return de.make_de(config)
+    if kind == KIND_MALA:
+        return gradient.make_mala(config, func_grad)
+    if kind == KIND_HMC:
+        return gradient.make_hmc(config, func_grad)
+    if kind == KIND_CUSTOM:
+        if spec.protocol == "legacy":
+            return _wrap_legacy(spec.fn, config.ndim, config.dtype)
+
+        def custom(key, x, beta, it, ctx):
+            q, lqxy = spec.fn(key, x, it, beta)
+            return jnp.asarray(q, x.dtype), jnp.asarray(lqxy, x.dtype)
+
+        return custom
+    raise ValueError(f"unknown jump kind {kind!r}")
+
+
+def build_jump_branches(config: SamplerConfig, func_grad=None):
+    """Build batched branch functions for `lax.switch`.
+
+    Each branch has signature
+        branch(keys[T,C,2], x[T,C,D], betas[T], it, ctx, ss_dict) ->
+            (q[T,C,D], log_qxy[T,C], new_ss_dict)
+    where ``ss_dict`` holds the per-(T,C) NUTS dual-averaging scalars.
+    """
+    branches = []
+    for spec in config.jumps:
+        if spec.kind == KIND_NUTS:
+            kernel = nuts.make_nuts(config, func_grad)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                per_chain = jax.vmap(  # over chains
+                    lambda k, xx, b, s: _kernel(k, xx, b, it, ctx, s),
+                    in_axes=(0, 0, None, 0),
+                )
+                per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0, 0))
+                q, qxy, new_ss = per_temp(keys, x, betas, ss)
+                return q, qxy, new_ss
+
+        else:
+            kernel = _single_chain_kernel(spec, config, func_grad)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                per_chain = jax.vmap(
+                    lambda k, xx, b: _kernel(k, xx, b, it, ctx),
+                    in_axes=(0, 0, None),
+                )
+                per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0))
+                q, qxy = per_temp(keys, x, betas)
+                return q, qxy, ss
+
+        branches.append(branch)
+    return branches
+
+
+def build_aux_chain(config: SamplerConfig):
+    """Chained auxiliary jumps applied after every proposal."""
+    if not config.aux_jumps:
+        return None
+    wrapped = []
+    for spec in config.aux_jumps:
+        if spec.protocol == "legacy":
+            wrapped.append(_wrap_legacy_aux(spec.fn, config.ndim, config.dtype))
+        else:
+            fn = spec.fn
+
+            def jax_aux(key, x0, q, it, beta, _fn=fn):
+                qn, lqxy = _fn(key, x0, q, it, beta)
+                return jnp.asarray(qn, q.dtype), jnp.asarray(lqxy, q.dtype)
+
+            wrapped.append(jax_aux)
+
+    def apply_aux(keys, x, q, qxy, betas, it):
+        """keys [T,C,A,2]; x,q [T,C,D]; returns updated (q, qxy)."""
+
+        def single(key_list, x1, q1, beta):
+            total = jnp.zeros((), q1.dtype)
+            for ai, aux in enumerate(wrapped):
+                q1, lq = aux(key_list[ai], x1, q1, it, beta)
+                total = total + lq
+            return q1, total
+
+        per_chain = jax.vmap(single, in_axes=(0, 0, 0, None))
+        per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0, 0))
+        q2, extra = per_temp(keys, x, q, betas)
+        return q2, qxy + extra
+
+    return apply_aux
+
+
+def jump_probabilities(config: SamplerConfig, it):
+    """Active-cycle pick probabilities at iteration ``it``."""
+    w, act = config.weights_and_activation()
+    w = jnp.asarray(w)
+    active = it > jnp.asarray(act)
+    # activate_after == 0 means always active.
+    active = active | (jnp.asarray(act) == 0)
+    probs = w * active.astype(w.dtype)
+    return probs / jnp.maximum(jnp.sum(probs), 1e-9)

@@ -1,0 +1,55 @@
+"""Differential-evolution jump from the device-resident history ring buffer.
+
+Parity target: ``DEJump`` (PTMCMCSampler.py:936-985): pick two distinct rows
+of the history buffer, jump along their difference restricted to a random
+parameter group; with prob 0.5 a "mode jump" (scale=1.0), else
+``uniform() * 2.4/sqrt(2*sg) * sqrt(1/beta)``. Symmetric (log_qxy = 0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import random_group, safe_temperature, switch_over_groups
+
+
+def make_de(config):
+    groups = [np.asarray(g) for g in config.groups]
+
+    def de(key, x, beta, it, ctx):
+        kg, km, kn, kp, ku = jax.random.split(key, 5)
+        nvalid = jnp.maximum(ctx.de_valid, 2)
+        mm = jax.random.randint(km, (), 0, nvalid)
+        nn = jax.random.randint(kn, (), 0, nvalid)
+        # The reference redraws until distinct (:963-966); remapping to the
+        # next row preserves the symmetric two-distinct-rows pair law.
+        nn = jnp.where(nn == mm, (nn + 1) % nvalid, nn)
+        prob = jax.random.uniform(kp)
+        # sqrt(1/beta) per the reference (:976); the hot chain's beta->0 is
+        # clamped so f32 stays finite (reference would produce 1e40).
+        temp = jnp.minimum(safe_temperature(beta), 1e30)
+
+        def branch(gi):
+            g = groups[gi]
+            sg = len(g)
+            base = np.float64(2.4 / np.sqrt(2.0 * sg))
+
+            def apply(x, ctx):
+                scale = jnp.where(
+                    prob > 0.5,
+                    jnp.asarray(1.0, x.dtype),
+                    (jax.random.uniform(ku, dtype=x.dtype) * jnp.asarray(base, x.dtype))
+                    * jnp.sqrt(temp).astype(x.dtype),
+                )
+                sigma = ctx.de_buf[mm][g] - ctx.de_buf[nn][g]
+                return x.at[g].add(scale * sigma)
+
+            return apply
+
+        gidx = random_group(kg, len(groups))
+        q = switch_over_groups(gidx, [branch(i) for i in range(len(groups))], x, ctx)
+        return q, jnp.zeros((), x.dtype)
+
+    return de

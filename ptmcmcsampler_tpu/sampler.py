@@ -1,0 +1,602 @@
+"""The user-facing PTSampler driver.
+
+API-compatible with the reference ``PTSampler`` (PTMCMCSampler.py:40-528):
+same constructor and ``sample()`` keywords, same chain-file outputs, same
+proposal-cycle semantics — but the execution model is TPU-native: the whole
+[ntemps, nchains] replica system advances inside one jitted ``lax.scan``
+program per output block, and multi-chip runs shard the temperature axis of
+the same program over a ``jax.sharding.Mesh`` instead of MPI ranks.
+
+Key differences from the reference (all capability supersets):
+  * ``ntemps`` is an explicit argument (the reference derives one chain per
+    MPI rank, PTMCMCSampler.py:96-97); ``comm`` is accepted and ignored.
+  * ``nchains`` vmaps many independent chains per temperature (absent in the
+    reference, the main throughput axis on TPU).
+  * user logl/logp callables that are JAX-traceable run fused on device;
+    plain-numpy callables still work through a host-callback fallback.
+  * full-state checkpointing (adaptation, RNG, step sizes) in addition to the
+    reference's chain-file resume.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diagnostics, utils
+from .config import (
+    KIND_CUSTOM,
+    JumpSpec,
+    SamplerConfig,
+    build_default_jumps,
+    default_groups,
+)
+from .io.chainfile import ChainWriter
+from .io.checkpoint import load_checkpoint, save_checkpoint
+from .kernel import build_step
+from .ladder import ladder_betas, temperature_ladder
+from .state import init_state
+
+
+def _wrap_scalar_fn(f, args, kwargs, ndim, dtype, out_shape=()):
+    """Wrap a user log-density into a single-x JAX callable.
+
+    Mirrors ``_function_wrapper`` (PTMCMCSampler.py:1072-1086) and adds the
+    traceable/host-callback split: traceable functions compile into the device
+    program; numpy functions round-trip through ``pure_callback``.
+    """
+
+    def call(x):
+        return f(x, *args, **kwargs)
+
+    try:
+        jax.eval_shape(call, jax.ShapeDtypeStruct((ndim,), dtype))
+
+        def traced(x):
+            return jnp.asarray(call(x), dtype).reshape(out_shape)
+
+        return traced, True
+    except Exception:
+        def host(x):
+            return np.asarray(call(np.asarray(x, np.float64)), np.float64).astype(dtype).reshape(out_shape)
+
+        def cb(x):
+            return jax.pure_callback(
+                host, jax.ShapeDtypeStruct(out_shape, dtype), x, vmap_method="sequential"
+            )
+
+        return cb, False
+
+
+def _wrap_grad_fn(f, args, kwargs, ndim, dtype):
+    """Wrap a reference-style ``f(x) -> (value, grad)`` callable."""
+
+    def call(x):
+        return f(x, *args, **kwargs)
+
+    try:
+        jax.eval_shape(call, jax.ShapeDtypeStruct((ndim,), dtype))
+
+        def traced(x):
+            v, g = call(x)
+            return jnp.asarray(v, dtype).reshape(()), jnp.asarray(g, dtype).reshape((ndim,))
+
+        return traced, True
+    except Exception:
+        def host(x):
+            v, g = call(np.asarray(x, np.float64))
+            return (
+                np.asarray(v, np.float64).astype(dtype).reshape(()),
+                np.asarray(g, np.float64).astype(dtype).reshape((ndim,)),
+            )
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((), dtype),
+            jax.ShapeDtypeStruct((ndim,), dtype),
+        )
+
+        def cb(x):
+            return jax.pure_callback(host, out_shapes, x, vmap_method="sequential")
+
+        return cb, False
+
+
+class PTSampler:
+    """Parallel-Tempering MCMC sampler, TPU-native.
+
+    Drop-in constructor signature for the reference (PTMCMCSampler.py:75-93)
+    plus TPU extensions (``ntemps``, ``nchains``, ``dtype``, ``jump_select``,
+    ``swap_mode``, ``adapt_from``, ``mesh``).
+    """
+
+    def __init__(
+        self,
+        ndim,
+        logl,
+        logp,
+        cov,
+        groups=None,
+        loglargs=None,
+        loglkwargs=None,
+        logpargs=None,
+        logpkwargs=None,
+        logl_grad=None,
+        logp_grad=None,
+        comm=None,
+        outDir="./chains",
+        verbose=True,
+        resume=False,
+        seed=None,
+        ntemps=1,
+        nchains=1,
+        dtype=np.float32,
+        jump_select="shared",
+        swap_mode="sweep",
+        adapt_from="cold",
+        mesh=None,
+        temp_axis="temp",
+    ):
+        del comm  # MPI compat shim: distribution is mesh-based here.
+        self.ndim = int(ndim)
+        self.ntemps = int(ntemps)
+        self.nchains = int(nchains)
+        self.dtype = np.dtype(dtype)
+        self.outDir = outDir
+        self.verbose = verbose
+        self.resume = resume
+        self.mesh = mesh
+        self.temp_axis = temp_axis
+        self.jump_select = jump_select
+        self.swap_mode = swap_mode
+        self.adapt_from = adapt_from
+
+        self._logl_fn, self._logl_traceable = _wrap_scalar_fn(
+            logl, loglargs or [], loglkwargs or {}, self.ndim, self.dtype
+        )
+        self._logp_fn, self._logp_traceable = _wrap_scalar_fn(
+            logp, logpargs or [], logpkwargs or {}, self.ndim, self.dtype
+        )
+        if logl_grad is not None and logp_grad is not None:
+            self._logl_grad_fn, _ = _wrap_grad_fn(
+                logl_grad, loglargs or [], loglkwargs or {}, self.ndim, self.dtype
+            )
+            self._logp_grad_fn, _ = _wrap_grad_fn(
+                logp_grad, logpargs or [], logpkwargs or {}, self.ndim, self.dtype
+            )
+        else:
+            self._logl_grad_fn = None
+            self._logp_grad_fn = None
+
+        self.groups = (
+            tuple(tuple(int(i) for i in g) for g in groups)
+            if groups is not None
+            else default_groups(self.ndim)
+        )
+        self.cov0 = np.array(cov, dtype=np.float64)
+
+        if seed is None:
+            seed = int(np.random.SeedSequence().generate_state(1)[0])
+        self._key = jax.random.PRNGKey(seed)
+
+        self._custom_jumps = []
+        self._aux_jumps = []
+        self.state = None
+        self.ladder = None
+        self._chain_host = []  # cold-chain thinned history (for neff/user)
+        self._lnlike_host = []
+        self._lnprob_host = []
+
+        os.makedirs(self.outDir, exist_ok=True)
+
+    # ---------------------------------------------------------------- jumps
+
+    def addProposalToCycle(self, func, weight, name=None):
+        """Register a custom jump (reference PTMCMCSampler.py:988-1014).
+
+        Supported protocols:
+          * JAX-native: ``func(key, x, iter, beta) -> (q, log_qxy)``;
+          * reference/legacy: ``func(x, iter, beta) -> (q, log_qxy)`` —
+            traceable functions compile in; numpy ones run via host callback.
+        """
+        if weight == 0:
+            return
+        name = name or getattr(func, "__name__", f"custom{len(self._custom_jumps)}")
+        nparams = None
+        try:
+            nparams = len(inspect.signature(func).parameters)
+        except (TypeError, ValueError):
+            pass
+        if nparams is not None and nparams >= 4:
+            spec = JumpSpec(name, KIND_CUSTOM, weight, fn=func, protocol="jax")
+        else:
+            traceable = True
+            try:
+                jax.eval_shape(
+                    lambda x: func(x, 0, 1.0),
+                    jax.ShapeDtypeStruct((self.ndim,), self.dtype),
+                )
+            except Exception:
+                traceable = False
+            if traceable:
+                def adapted(key, x, it, beta, _f=func):
+                    del key
+                    return _f(x, it, beta)
+
+                spec = JumpSpec(name, KIND_CUSTOM, weight, fn=adapted, protocol="jax")
+            else:
+                spec = JumpSpec(name, KIND_CUSTOM, weight, fn=func, protocol="legacy")
+        self._custom_jumps.append(spec)
+
+    def addAuxilaryJump(self, func, name=None):
+        """Register an auxiliary jump applied after every proposal
+        (reference PTMCMCSampler.py:1017-1028). Protocols:
+          * JAX-native: ``func(key, x, q, iter, beta) -> (q, log_qxy)``;
+          * legacy: ``func(x, q, iter, beta) -> (q, log_qxy)``.
+        """
+        name = name or getattr(func, "__name__", f"aux{len(self._aux_jumps)}")
+        nparams = None
+        try:
+            nparams = len(inspect.signature(func).parameters)
+        except (TypeError, ValueError):
+            pass
+        if nparams is not None and nparams >= 5:
+            spec = JumpSpec(name, KIND_CUSTOM, 1, fn=func, protocol="jax")
+        else:
+            traceable = True
+            try:
+                jax.eval_shape(
+                    lambda x: func(x, x, 0, 1.0),
+                    jax.ShapeDtypeStruct((self.ndim,), self.dtype),
+                )
+            except Exception:
+                traceable = False
+            if traceable:
+                def adapted(key, x, q, it, beta, _f=func):
+                    del key
+                    return _f(x, q, it, beta)
+
+                spec = JumpSpec(name, KIND_CUSTOM, 1, fn=adapted, protocol="jax")
+            else:
+                spec = JumpSpec(name, KIND_CUSTOM, 1, fn=func, protocol="legacy")
+        self._aux_jumps.append(spec)
+
+    # --------------------------------------------------------------- sample
+
+    def _build_config(self, weights, burn, tskip, cov_update, thin, hmc_kwargs):
+        have_grads = self._logl_grad_fn is not None
+        jumps = list(
+            build_default_jumps(
+                SCAMweight=weights["SCAM"],
+                AMweight=weights["AM"],
+                DEweight=weights["DE"],
+                NUTSweight=weights["NUTS"] if have_grads else 0,
+                MALAweight=weights["MALA"] if have_grads else 0,
+                HMCweight=weights["HMC"] if have_grads else 0,
+                burn=burn,
+                have_grads=have_grads,
+            )
+        )
+        jumps.extend(self._custom_jumps)
+        return SamplerConfig(
+            ndim=self.ndim,
+            ntemps=self.ntemps,
+            nchains=self.nchains,
+            groups=self.groups,
+            jumps=tuple(jumps),
+            aux_jumps=tuple(self._aux_jumps),
+            tskip=tskip,
+            cov_update=cov_update,
+            burn=burn,
+            thin=thin,
+            de_size=max(burn, self.nchains),
+            jump_select=self.jump_select,
+            swap_mode=self.swap_mode,
+            adapt_from=self.adapt_from,
+            dtype=self.dtype,
+            hmc_stepsize=hmc_kwargs.get("stepsize", 0.1),
+            hmc_nminsteps=hmc_kwargs.get("nminsteps", 2),
+            hmc_nmaxsteps=hmc_kwargs.get("nmaxsteps", 300),
+        )
+
+    def _func_grad(self):
+        if self._logl_grad_fn is None:
+            return None
+        llg, lpg = self._logl_grad_fn, self._logp_grad_fn
+
+        def func_grad(x, beta):
+            """Tempered log-density + gradient (nutsjump.py:71-76)."""
+            ll, gll = llg(x)
+            lp, glp = lpg(x)
+            return beta * ll + lp, beta * gll + glp
+
+        return func_grad
+
+    def sample(
+        self,
+        p0,
+        Niter,
+        ladder=None,
+        Tmin=1,
+        Tmax=None,
+        Tskip=100,
+        isave=1000,
+        covUpdate=1000,
+        SCAMweight=20,
+        AMweight=20,
+        DEweight=20,
+        NUTSweight=20,
+        MALAweight=20,
+        HMCweight=20,
+        burn=10000,
+        HMCstepsize=0.1,
+        HMCsteps=300,
+        maxIter=None,
+        thin=10,
+        i0=0,
+        neff=None,
+        writeHotChains=False,
+        hotChain=False,
+    ):
+        """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
+        del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
+        Niter = int(Niter)
+        if isave % thin != 0:
+            raise ValueError(
+                "isave = %d is not a multiple of thin =  %d" % (isave, thin)
+            )
+        if Niter % thin != 0 and self.verbose:
+            print(
+                "Niter = %d is not a multiple of thin = %d.  The last %d samples will be lost"
+                % (Niter, thin, Niter % thin)
+            )
+
+        # Temperature ladder (reference :699-720).
+        if ladder is not None:
+            ladder = np.asarray(ladder, dtype=np.float64)
+            self.ntemps = len(ladder)
+        else:
+            ladder = temperature_ladder(self.ndim, self.ntemps, tmin=Tmin, tmax=Tmax)
+        self.ladder, betas = ladder_betas(ladder, hot_chain=hotChain)
+
+        weights = dict(
+            SCAM=SCAMweight, AM=AMweight, DE=DEweight, NUTS=NUTSweight,
+            MALA=MALAweight, HMC=HMCweight,
+        )
+        config = self._build_config(
+            weights, burn, Tskip, covUpdate,
+            thin, dict(stepsize=HMCstepsize, nminsteps=2, nmaxsteps=HMCsteps),
+        )
+        self.config = config
+        if MALAweight and self._logl_grad_fn is not None and self.verbose:
+            print("WARNING: MALA jumps are not working properly yet")  # :230-231
+
+        step, run_block = build_step(
+            config, self._logl_fn, self._logp_fn, self._func_grad()
+        )
+        self._step_fn = step
+
+        # Initial state.
+        p0 = np.asarray(p0, dtype=np.float64)
+        x0 = np.broadcast_to(p0, (self.ntemps, self.nchains, self.ndim))
+        eval_init = jax.jit(
+            lambda xs: (
+                jax.vmap(jax.vmap(self._logl_fn))(xs),
+                jax.vmap(jax.vmap(self._logp_fn))(xs),
+            )
+        )
+        lp_arr = None
+
+        self._key, init_key = jax.random.split(self._key)
+        writer = ChainWriter(
+            self.outDir, self.ladder, hot_chain=hotChain,
+            write_hot_chains=writeHotChains, resume=self.resume,
+        )
+        writer.init_jump_files(config.jump_names(), resume=self.resume)
+        self._writer = writer
+
+        ckpt_path = os.path.join(self.outDir, "checkpoint.npz")
+        start_iter = 0
+        state = None
+
+        if self.resume:
+            state, start_iter = self._try_resume(
+                config, ckpt_path, writer, betas, x0, eval_init, init_key, isave, thin
+            )
+
+        if state is None:
+            xs = jnp.asarray(x0, dtype=self.dtype)
+            ll0, lp0 = eval_init(xs)
+            # Reference: -inf prior short-circuits the likelihood (:481-487).
+            ll0 = jnp.where(jnp.isneginf(lp0), -jnp.inf, ll0)
+            state = init_state(config, init_key, x0, self.cov0, betas, ll0, lp0)
+            start_iter = 0
+            # Record + write the initial sample (reference :489-491).
+            lnprob0 = utils.host_array(state.lnprob)
+            self._chain_host = [utils.host_array(state.x[0, 0])[None]]
+            self._lnlike_host = [utils.host_array(state.lnlike[0, 0])[None]]
+            self._lnprob_host = [lnprob0[0, 0][None]]
+            for ti in range(self.ntemps):
+                writer.append(
+                    ti,
+                    utils.host_array(state.x[ti, 0])[None],
+                    np.array([lnprob0[ti, 0]]),
+                    np.array([utils.host_array(state.lnlike[ti, 0])]),
+                    np.array([0.0]),
+                    np.array([1.0]),
+                )
+
+        self.state = state
+        self.Niter = Niter
+        tstart = time.time()
+        it = start_iter
+        rows_per_block = isave // thin
+        run_complete = it >= Niter
+        message = ""
+
+        while not run_complete:
+            todo_iters = Niter - it
+            rows = min(rows_per_block, max(todo_iters // thin, 1))
+            state, out = run_block(state, rows)
+            it += rows * thin
+            self._drain_block(state, out, it, tstart, Niter, writer, config)
+            self.state = state
+
+            if it >= Niter - (Niter % thin):
+                message = "\nRun Complete"
+                run_complete = True
+            elif neff is not None and it > 2 * burn:
+                chain = np.concatenate(self._chain_host, axis=0)
+                burn_rows = burn // thin
+                tau = diagnostics.max_autocorr_time(chain[burn_rows:])
+                n_eff = it / max(1.0, tau)
+                if int(n_eff) >= neff:
+                    message = "\nRun Complete with {0} effective samples".format(int(n_eff))
+                    run_complete = True
+
+            save_checkpoint(
+                ckpt_path, state,
+                meta=dict(iter=int(it), niter=int(Niter), thin=int(thin), isave=int(isave)),
+            )
+
+        if self.verbose:
+            print(message)
+        del lp_arr
+        return state
+
+    # ------------------------------------------------------------ internals
+
+    def _drain_block(self, state, out, it, tstart, Niter, writer, config):
+        """Host-side block drain: chain files, jump stats, progress line."""
+        x = utils.host_array(out.x)  # [rows, T, C, D]
+        lnlike = utils.host_array(out.lnlike)
+        lnprob = utils.host_array(out.lnprob)
+        ctr = jax.device_get(state.counters)
+
+        self._chain_host.append(x[:, 0, 0, :])
+        self._lnlike_host.append(lnlike[:, 0, 0])
+        self._lnprob_host.append(lnprob[:, 0, 0])
+
+        nswap_prop = max(int(ctr.swaps_proposed), 1)
+        for ti in range(self.ntemps):
+            acc_rate = float(ctr.naccepted[ti, 0]) / max(it, 1)
+            if ti < self.ntemps - 1 and int(ctr.swaps_proposed) > 0:
+                pt_acc = float(ctr.swaps_accepted[ti, 0]) / nswap_prop
+            else:
+                pt_acc = 1.0  # reference :737-739
+            rows = x.shape[0]
+            writer.append(
+                ti,
+                x[:, ti, 0, :],
+                lnprob[:, ti, 0],
+                lnlike[:, ti, 0],
+                np.full(rows, acc_rate),
+                np.full(rows, pt_acc),
+            )
+
+        writer.write_cov(jax.device_get(state.adapt.cov))
+        w, _ = config.weights_and_activation()
+        writer.write_jump_stats(
+            config.jump_names(), w,
+            np.asarray(ctr.jump_proposed)[:, 0, 0],
+            np.asarray(ctr.jump_accepted)[:, 0, 0],
+        )
+
+        if self.verbose:
+            sys.stdout.write("\r")
+            percent = it / Niter * 100
+            acceptance = float(ctr.naccepted[0, 0]) / max(it, 1)
+            elapsed = time.time() - tstart
+            sys.stdout.write(
+                "Finished %2.2f percent in %f s Acceptance rate = %g"
+                % (percent, elapsed, acceptance)
+            )
+            sys.stdout.flush()
+
+    def _try_resume(self, config, ckpt_path, writer, betas, x0, eval_init, init_key, isave, thin):
+        """Resume from a full checkpoint, else from reference chain files."""
+        if os.path.isfile(ckpt_path):
+            xs = jnp.asarray(x0, dtype=self.dtype)
+            ll0, lp0 = eval_init(xs)
+            template = init_state(config, init_key, x0, self.cov0, betas, ll0, lp0)
+            try:
+                state, meta = load_checkpoint(ckpt_path, template)
+            except ValueError:
+                state, meta = None, None
+            if state is not None:
+                it = int(meta["iter"]) if meta else int(jax.device_get(state.it))
+                if self.verbose:
+                    print(f"Resuming from checkpoint at iteration {it}")
+                self._reload_host_history()
+                return state, it
+
+        data = writer.existing_rows(0)
+        if data is None or len(data) == 0:
+            return None, 0
+        rows = data.shape[0]
+        if self.verbose:
+            print("Resuming run from chain file {0}".format(writer.fnames[0]))
+        if isave != thin and rows % (isave / thin) != 1:  # reference :301-309
+            raise RuntimeError(
+                "Old chain has {0} rows, which is not the initial sample plus "
+                "a multiple of isave/thin = {1}".format(rows, isave // thin)
+            )
+        # Rebuild per-temperature positions from each chain file's last row.
+        x_res = np.array(np.broadcast_to(x0, (self.ntemps, self.nchains, self.ndim)))
+        for ti in range(self.ntemps):
+            d = writer.existing_rows(ti)
+            if d is not None and len(d):
+                x_res[ti, :, :] = d[-1, : self.ndim]
+        xs = jnp.asarray(x_res, dtype=self.dtype)
+        ll0, lp0 = eval_init(xs)
+        ll0 = jnp.where(jnp.isneginf(lp0), -jnp.inf, ll0)
+        state = init_state(config, init_key, x_res, self.cov0, betas, ll0, lp0)
+        it = (rows - 1) * thin
+        # Restore the acceptance counter from the file column (reference :599).
+        naccepted = int(data[-1, -2] * it)
+        ctr = state.counters
+        state = state.replace(
+            it=jnp.asarray(it, jnp.int32),
+            counters=ctr.replace(
+                naccepted=jnp.full_like(ctr.naccepted, naccepted)
+            ),
+        )
+        self._reload_host_history(data)
+        return state, it
+
+    def _reload_host_history(self, data=None):
+        if data is None:
+            data = self._writer.existing_rows(0)
+        if data is None or len(data) == 0:
+            return
+        self._chain_host = [data[:, : self.ndim]]
+        self._lnprob_host = [data[:, -4]]
+        self._lnlike_host = [data[:, -3]]
+
+    # ------------------------------------------------------------ accessors
+
+    @property
+    def chain(self):
+        """Thinned cold-chain history [rows, ndim] (reference self._chain)."""
+        if not self._chain_host:
+            return np.zeros((0, self.ndim))
+        return np.concatenate(self._chain_host, axis=0)
+
+    @property
+    def lnprob_chain(self):
+        return np.concatenate(self._lnprob_host, axis=0) if self._lnprob_host else np.zeros(0)
+
+    @property
+    def lnlike_chain(self):
+        return np.concatenate(self._lnlike_host, axis=0) if self._lnlike_host else np.zeros(0)
+
+    @property
+    def cov(self):
+        if self.state is None:
+            return self.cov0
+        return utils.host_array(self.state.adapt.cov)

@@ -1,0 +1,150 @@
+"""Sampler state pytrees.
+
+The reference mutates ``self.*`` attributes across a Python loop
+(PTMCMCSampler.py:499-528); here the entire sampler state is one pytree and
+one pure ``step(state) -> state`` function is scanned on device.
+"""
+
+from __future__ import annotations
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import utils
+from .config import SamplerConfig
+
+
+@chex.dataclass
+class AdaptState:
+    """Proposal-covariance adaptation (reference ``_updateRecursive``,
+    PTMCMCSampler.py:769-803, and the gradient jumps' whitening factors,
+    nutsjump.py:51-69)."""
+
+    mean: jax.Array  # [D] running mean (Welford mu)
+    m2: jax.Array  # [D, D] running scatter (Welford M2)
+    count: jax.Array  # scalar f32: samples consumed
+    cov: jax.Array  # [D, D] current proposal covariance
+    group_u: tuple  # per-group eigenvectors, shapes [(sg, sg), ...]
+    group_s: tuple  # per-group eigenvalues, shapes [(sg,), ...]
+    chol: jax.Array  # [D, D] lower Cholesky of mass-matrix inverse (cov)
+    chol_inv: jax.Array  # [D, D] inverse of chol
+
+
+@chex.dataclass
+class DEState:
+    """Differential-evolution history ring buffer (reference ``_DEbuffer``,
+    PTMCMCSampler.py:219-221, :806-817) — device-resident, written every
+    iteration from the cold chains instead of bulk-copied every ``burn``."""
+
+    buf: jax.Array  # [B, D]
+    filled: jax.Array  # scalar i32: valid rows
+
+
+@chex.dataclass
+class StepSizeState:
+    """NUTS dual-averaging state (nutsjump.py:414-420, :804-816), one per
+    (temperature, chain) instead of the reference's per-rank scalars."""
+
+    epsilon: jax.Array  # [T, C]; <=0 means "not yet initialized" (nutsjump.py:671)
+    epsilonbar: jax.Array  # [T, C]
+    hbar: jax.Array  # [T, C]
+    mu: jax.Array  # [T, C] log(10*eps0)
+    ncalls: jax.Array  # [T, C] gradient-jump call counter (GradientJump.iter)
+
+
+@chex.dataclass
+class Counters:
+    """Acceptance bookkeeping (PTMCMCSampler.py:214-217, :602, :620-622,
+    :662, :692)."""
+
+    naccepted: jax.Array  # [T, C] i32
+    jump_proposed: jax.Array  # [J, T, C] i32
+    jump_accepted: jax.Array  # [J, T, C] i32
+    swaps_proposed: jax.Array  # scalar i32
+    swaps_accepted: jax.Array  # [T, C] i32 (per adjacent pair index)
+
+
+@chex.dataclass
+class SamplerState:
+    key: jax.Array  # PRNG key (uint32[2])
+    it: jax.Array  # scalar i32, current iteration number
+    x: jax.Array  # [T, C, D] positions
+    lnlike: jax.Array  # [T, C]
+    lnprior: jax.Array  # [T, C]
+    betas: jax.Array  # [T] inverse temperatures
+    adapt: AdaptState
+    de: DEState
+    stepsize: StepSizeState
+    counters: Counters
+
+    @property
+    def lnprob(self):
+        return utils.tempered_lnprob(self.lnlike, self.lnprior, self.betas[:, None])
+
+
+def init_adapt_state(config: SamplerConfig, cov0: np.ndarray) -> AdaptState:
+    d = config.ndim
+    dt = config.dtype
+    cov0 = np.asarray(cov0, dtype=np.float64)
+    group_u, group_s = [], []
+    for g in config.groups:
+        sub = cov0[np.ix_(g, g)]
+        # Reference uses SVD of the symmetric PSD group covariance
+        # (PTMCMCSampler.py:139-145); eigh is the TPU-friendly equivalent.
+        s, u = np.linalg.eigh(sub)
+        s = np.maximum(s, 0.0)
+        group_u.append(jnp.asarray(u, dtype=dt))
+        group_s.append(jnp.asarray(s, dtype=dt))
+    chol = np.linalg.cholesky(cov0 + 1e-12 * np.mean(np.diag(cov0)) * np.eye(d))
+    chol_inv = np.linalg.solve(chol, np.eye(d))
+    return AdaptState(
+        mean=jnp.zeros((d,), dt),
+        m2=jnp.zeros((d, d), dt),
+        count=jnp.zeros((), jnp.float32),
+        cov=jnp.asarray(cov0, dtype=dt),
+        group_u=tuple(group_u),
+        group_s=tuple(group_s),
+        chol=jnp.asarray(chol, dtype=dt),
+        chol_inv=jnp.asarray(chol_inv, dtype=dt),
+    )
+
+
+def init_state(
+    config: SamplerConfig,
+    key: jax.Array,
+    x0: np.ndarray,
+    cov0: np.ndarray,
+    betas: np.ndarray,
+    lnlike0: jax.Array,
+    lnprior0: jax.Array,
+) -> SamplerState:
+    t, c, d = config.ntemps, config.nchains, config.ndim
+    j = config.njumps
+    dt = config.dtype
+    de_rows = max(config.de_size, c)
+    return SamplerState(
+        key=utils.as_2d_key(key),
+        it=jnp.zeros((), jnp.int32),
+        x=jnp.asarray(np.broadcast_to(x0, (t, c, d)), dtype=dt),
+        lnlike=jnp.asarray(lnlike0, dtype=dt).reshape(t, c),
+        lnprior=jnp.asarray(lnprior0, dtype=dt).reshape(t, c),
+        betas=jnp.asarray(betas, dtype=dt),
+        adapt=init_adapt_state(config, cov0),
+        de=DEState(buf=jnp.zeros((de_rows, d), dt), filled=jnp.zeros((), jnp.int32)),
+        stepsize=StepSizeState(
+            epsilon=jnp.full((t, c), -1.0, dt),
+            epsilonbar=jnp.ones((t, c), dt),
+            hbar=jnp.zeros((t, c), dt),
+            mu=jnp.zeros((t, c), dt),
+            ncalls=jnp.zeros((t, c), dt),
+        ),
+        counters=Counters(
+            naccepted=jnp.zeros((t, c), jnp.int32),
+            jump_proposed=jnp.zeros((j, t, c), jnp.int32),
+            jump_accepted=jnp.zeros((j, t, c), jnp.int32),
+            swaps_proposed=jnp.zeros((), jnp.int32),
+            swaps_accepted=jnp.zeros((t, c), jnp.int32),
+        ),
+    )

@@ -1,0 +1,100 @@
+"""Replica-exchange (parallel-tempering) swaps, fully on-device.
+
+The reference gathers all chains to rank 0, runs a sequential
+hottest-to-coldest sweep through a ``swap_map`` permutation, and scatters the
+permuted states back (``PTswap``, PTMCMCSampler.py:631-697). Here the ladder
+lives on one (possibly sharded) array axis, so a swap is a permutation of
+device-resident rows — no host round-trip and no gather/scatter pair:
+
+* ``sweep``  — statistically identical to the reference: a fori_loop over the
+  T-1 adjacent pairs from the hottest pair down, vectorized across the chain
+  batch, building the same swap_map permutation with the same acceptance rule
+  ``log_acc = (1/T_i - 1/T_{i+1}) * (L[m[i+1]] - L[m[i]])`` (:673-678).
+* ``deo``    — the deterministic even/odd scheme: alternating disjoint
+  adjacent pairs, each swap local to a pair, which maps onto `ppermute`
+  neighbor exchanges when the temperature axis is sharded across chips.
+
+Both swap positions *and* cached log-prior/log-likelihood, so the reference's
+post-swap prior re-evaluation (:695) is unnecessary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sweep_swap_map(key, lnlike, betas):
+    """Build the per-chain swap permutation via the reference's serial sweep.
+
+    lnlike: [T, C]; returns (swap_map [T, C] i32, accepted [T, C] bool) where
+    ``accepted[i]`` marks pair (i, i+1) swaps, and pair index T-1 is unused
+    (the hottest chain has no upper neighbor; reference reports pt_acc = 1 for
+    it, PTMCMCSampler.py:737-739).
+    """
+    t, c = lnlike.shape
+    us = jax.random.uniform(key, (t - 1, c) if t > 1 else (1, c))
+    swap_map0 = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
+    accepted0 = jnp.zeros((t, c), bool)
+
+    def body(step, carry):
+        m, acc = carry
+        i = t - 2 - step  # hottest pair first (reference reversed(range(nchain-1)))
+        mi = m[i]
+        mi1 = m[i + 1]
+        li = jnp.take_along_axis(lnlike, mi[None, :], axis=0)[0]
+        li1 = jnp.take_along_axis(lnlike, mi1[None, :], axis=0)[0]
+        # (1/T_i - 1/T_{i+1}) * (L[m[i+1]] - L[m[i]]), written as in :673-676.
+        dll = jnp.where(jnp.isneginf(li1) & jnp.isneginf(li), 0.0, li1 - li)
+        log_acc = (betas[i] - betas[i + 1]) * dll
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        take = jnp.log(jnp.maximum(us[i], 1e-37)) <= log_acc
+        new_mi = jnp.where(take, mi1, mi)
+        new_mi1 = jnp.where(take, mi, mi1)
+        m = m.at[i].set(new_mi).at[i + 1].set(new_mi1)
+        acc = acc.at[i].set(take)
+        return m, acc
+
+    if t <= 1:
+        return swap_map0, accepted0
+    return jax.lax.fori_loop(0, t - 1, body, (swap_map0, accepted0))
+
+
+def deo_swap_map(key, lnlike, betas, parity):
+    """Even/odd disjoint adjacent-pair swaps (DEO scheme).
+
+    parity 0: pairs (0,1),(2,3),...; parity 1: pairs (1,2),(3,4),...
+    Detailed balance holds per pair; alternating parities gives the
+    non-reversible DEO scheme with better round-trip rates than the
+    stochastic sweep at many temperatures.
+    """
+    t, c = lnlike.shape
+    swap_map = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
+    accepted = jnp.zeros((t, c), bool)
+    if t <= 1:
+        return swap_map, accepted
+
+    us = jax.random.uniform(key, (t, c))
+    idx = jnp.arange(t)
+    lo = idx[:-1]
+    is_pair_lo = (lo % 2) == (parity % 2)  # [T-1] bool: pair (i, i+1) active
+    dll = lnlike[1:] - lnlike[:-1]
+    dll = jnp.where(jnp.isneginf(lnlike[1:]) & jnp.isneginf(lnlike[:-1]), 0.0, dll)
+    log_acc = (betas[:-1, None] - betas[1:, None]) * dll
+    log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+    take = is_pair_lo[:, None] & (jnp.log(jnp.maximum(us[:-1], 1e-37)) <= log_acc)
+
+    # Build permutation: row i goes up if take[i], row i+1 comes down.
+    take_full_lo = jnp.concatenate([take, jnp.zeros((1, c), bool)], axis=0)  # i swaps w/ i+1
+    take_full_hi = jnp.concatenate([jnp.zeros((1, c), bool), take], axis=0)  # i swaps w/ i-1
+    target = jnp.where(take_full_lo, swap_map + 1, jnp.where(take_full_hi, swap_map - 1, swap_map))
+    accepted = accepted.at[:-1].set(take)
+    return target.astype(jnp.int32), accepted
+
+
+def apply_swap(swap_map, x, lnlike, lnprior):
+    """Permute replica state rows by the per-chain swap map."""
+    xg = jnp.take_along_axis(x, swap_map[:, :, None], axis=0)
+    llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
+    lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
+    return xg, llg, lpg
