@@ -1,0 +1,118 @@
+"""JAX-native versions of the reference's example posteriors.
+
+These are the de-facto benchmark workloads of the reference (SURVEY.md §6):
+  * ``CorrelatedGaussian`` — examples/simple.py:17-44 (20-D random correlated
+    Gaussian likelihood with a uniform box prior);
+  * ``CurvedLikelihood`` — examples/curved_likelihood.ipynb cell 1 (the 2-D
+    curved/banana likelihood, the north-star benchmark workload);
+  * ``IntervalTransformedGaussian`` — tests/test_nuts.py:13-162 (standard
+    normal restricted to a box via the logit reparameterization, used to
+    exercise the gradient jumps).
+
+All log-densities are pure jnp functions of a single parameter vector;
+gradients come from ``jax.value_and_grad`` instead of the reference's
+hand-derived expressions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CorrelatedGaussian:
+    """Reference examples/simple.py model (correlated Gaussian + box prior)."""
+
+    def __init__(self, ndim=20, pmin=0.0, pmax=10.0, seed=0):
+        rng = np.random.default_rng(seed)
+        self.a = np.ones(ndim) * pmin
+        self.b = np.ones(ndim) * pmax
+        self.mu = rng.uniform(pmin, pmax, ndim)
+        cov = 0.5 - rng.random(ndim**2).reshape((ndim, ndim))
+        cov = np.triu(cov)
+        cov += cov.T - np.diag(cov.diagonal())
+        self.cov = np.dot(cov, cov)
+        self.icov = np.linalg.inv(self.cov)
+        self._icov_j = jnp.asarray(self.icov, jnp.float32)
+        self._mu_j = jnp.asarray(self.mu, jnp.float32)
+
+    def lnlikefn(self, x):
+        diff = x - self._mu_j
+        return -jnp.dot(diff, self._icov_j @ diff) / 2.0
+
+    def lnpriorfn(self, x):
+        inside = jnp.all(jnp.asarray(self.a) <= x) & jnp.all(jnp.asarray(self.b) >= x)
+        return jnp.where(inside, 0.0, -jnp.inf)
+
+    def lnlikefn_grad(self, x):
+        return jax.value_and_grad(self.lnlikefn)(x)
+
+    def lnpriorfn_grad(self, x):
+        return self.lnpriorfn(x), jnp.zeros_like(x)
+
+
+class CurvedLikelihood:
+    """The 2-D curved/banana likelihood (curved_likelihood.ipynb cell 1):
+
+        ll = log[ exp(-x^2 - (9 + 4x^2 + 9y)^2) + 0.5 exp(-8x^2 - 8(y-2)^2) ]
+
+    with a uniform prior on (-10, 10)^2.
+    """
+
+    ndim = 2
+
+    def __init__(self):
+        self.pmin = np.array([-10.0, -10.0])
+        self.pmax = np.array([10.0, 10.0])
+
+    def lnlikefn(self, x):
+        e0 = -x[0] ** 2 - (9 + 4 * x[0] ** 2 + 9 * x[1]) ** 2
+        e1 = -8 * x[0] ** 2 - 8 * (x[1] - 2) ** 2
+        # logsumexp form: numerically safe where the reference's
+        # log(exp(e0) + 0.5 exp(e1)) underflows to log(0).
+        return jax.scipy.special.logsumexp(
+            jnp.stack([e0, e1]), b=jnp.asarray([1.0, 0.5]), axis=0
+        )
+
+    def lnpriorfn(self, x):
+        inside = jnp.all(jnp.asarray(self.pmin) < x) & jnp.all(jnp.asarray(self.pmax) > x)
+        return jnp.where(inside, 0.0, -jnp.inf)
+
+    def lnlikefn_grad(self, x):
+        return jax.value_and_grad(self.lnlikefn)(x)
+
+    def lnpriorfn_grad(self, x):
+        return self.lnpriorfn(x), jnp.zeros_like(x)
+
+
+class IntervalTransformedGaussian:
+    """Standard normal on a box, logit-transformed to R^n
+    (reference tests/test_nuts.py:50-162)."""
+
+    def __init__(self, ndim=40, pmin=0.0, pmax=10.0):
+        self.ndim = ndim
+        self.a = jnp.full((ndim,), float(pmin))
+        self.b = jnp.full((ndim,), float(pmax))
+
+    def backward(self, p):
+        return (self.b - self.a) * jax.nn.sigmoid(p) + self.a
+
+    def _log_jacobian(self, p):
+        return jnp.sum(jnp.log(self.b - self.a) + p - 2 * jnp.log1p(jnp.exp(p)))
+
+    def _base_lnlike(self, x):
+        return -0.5 * jnp.sum(x**2) - self.ndim * 0.5 * jnp.log(2 * jnp.pi)
+
+    def lnlikefn(self, p):
+        x = self.backward(p)
+        return self._base_lnlike(x) + self._log_jacobian(p)
+
+    def lnpriorfn(self, p):
+        return jnp.zeros(())
+
+    def lnlikefn_grad(self, p):
+        return jax.value_and_grad(self.lnlikefn)(p)
+
+    def lnpriorfn_grad(self, p):
+        return self.lnpriorfn(p), jnp.zeros_like(p)

@@ -1,0 +1,72 @@
+"""Device-mesh sharding of the sampler state.
+
+TPU-native replacement for the reference's MPI distribution model
+(one rank per temperature, PTMCMCSampler.py:94-105 + mpi4py collectives,
+SURVEY.md §2.1 C13): the temperature axis of every state array is sharded
+over a ``jax.sharding.Mesh`` axis and the *same* jitted step program runs on
+every device. GSPMD inserts the collectives the reference did by hand:
+
+  * the swap permutation (gather/sweep/scatter, :660-691) becomes a
+    take-along-axis over the sharded temperature axis -> all-to-all /
+    collective-permute over ICI;
+  * the rank-0 covariance & DE-buffer broadcasts (:545-576) vanish — the
+    Welford moments are computed from the (replicated-output) cold-chain rows
+    and every device derives identical adaptation state;
+  * the per-iteration barrier/bcast (:501, :523) is implicit in SPMD program
+    order.
+
+Chains-per-temperature is the embarrassingly parallel axis and can optionally
+be sharded too (axis ``chain``) for very large chain counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..state import SamplerState
+
+
+def make_temp_mesh(n_devices=None, devices=None, axis="temp"):
+    """1-D mesh over the temperature axis."""
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def state_sharding(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
+    """Build a NamedSharding pytree matching the SamplerState structure.
+
+    Arrays with a leading temperature dimension shard on ``axis``; adaptation
+    and DE-history state is replicated (every device computes it identically);
+    scalars are replicated.
+    """
+    t = state.x.shape[0]
+    c = state.x.shape[1]
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "name", str(p)) for p in path]
+        field = names[-1] if names else ""
+        shape = np.shape(leaf)
+        if field in ("x",):
+            return P(axis, chain_axis, None)
+        if field in ("lnlike", "lnprior", "naccepted", "swaps_accepted"):
+            return P(axis, chain_axis)
+        if field == "betas":
+            return P(axis)
+        if field in ("jump_proposed", "jump_accepted"):
+            return P(None, axis, chain_axis)
+        if "stepsize" in names and shape == (t, c):
+            return P(axis, chain_axis)
+        return P()  # replicated: adapt, de, key, scalars
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), state
+    )
+
+
+def shard_state(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
+    """Place a (host or single-device) state onto the mesh."""
+    sharding = state_sharding(state, mesh, axis=axis, chain_axis=chain_axis)
+    return jax.device_put(state, sharding)

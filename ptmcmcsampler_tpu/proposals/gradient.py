@@ -84,7 +84,12 @@ def make_mala(config, func_grad):
         _, grad1 = fgw(ctx, q1, beta)
         mq1 = q1 + 0.5 * vec * cdt**2 * jnp.dot(vec, grad1) / 2.0
 
-        qxy = 0.5 * (jnp.sum((mq0 - q1) ** 2) - jnp.sum((mq1 - q0) ** 2))
+        # Forward/backward correction for the Gaussian proposal with stddev
+        # cd along `vec`. NOTE: the reference computes this without the 1/cd^2
+        # normalization (nutsjump.py:233), which breaks detailed balance and
+        # is why it warns "MALA jumps are not working properly yet"
+        # (PTMCMCSampler.py:230-231). We implement the correct density ratio.
+        qxy = 0.5 * (jnp.sum((mq0 - q1) ** 2) - jnp.sum((mq1 - q0) ** 2)) / cdt**2
         qxy = jnp.where(jnp.isnan(qxy), -jnp.inf, qxy)
         return backward(ctx, q1), qxy
 
@@ -107,22 +112,33 @@ def make_hmc(config, func_grad):
         eps = jnp.asarray(eps0, x.dtype)
 
         def cond(carry):
-            ii, _, _, _, _, stopped = carry
+            ii, _, _, _, _, _, stopped = carry
             return (ii < nsteps) & ~stopped
 
         def body(carry):
-            ii, q, p, grad, joint1, stopped = carry
+            ii, q, p, grad, logp1, joint1, stopped = carry
             q1, p1, grad1, logp1 = leapfrog(fgw, ctx, beta, q, p, grad, eps)
             joint1 = loghamiltonian(logp1, p1)
             # Divergence break — the reference keeps the diverged point and
             # lets qxy reject it (nutsjump.py:285-287).
             stopped = (joint1 - 1000.0) < joint0
-            return ii + 1, q1, p1, grad1, joint1, stopped
+            return ii + 1, q1, p1, grad1, logp1, joint1, stopped
 
-        init = (jnp.zeros((), jnp.int32), q0, p0, grad0, joint0, jnp.zeros((), bool))
-        _, q, _, _, joint1, _ = jax.lax.while_loop(cond, body, init)
+        init = (
+            jnp.zeros((), jnp.int32), q0, p0, grad0, logp0, joint0,
+            jnp.zeros((), bool),
+        )
+        _, q, _, _, logp1, joint1, _ = jax.lax.while_loop(cond, body, init)
 
-        qxy = joint1 - joint0
+        # Kinetic-energy correction K0 - K1, so the outer MH ratio
+        # (newlnprob - lnprob0 + qxy) equals the Hamiltonian error
+        # joint1 - joint0 — the acceptance the reference *intends*
+        # (nutsjump.py:288-289 comment). NOTE: the reference actually returns
+        # qxy = joint1 - joint0, which double-counts the potential-energy
+        # difference in the outer MH step and makes its HMC sample
+        # ~exp(2*logp) instead of exp(logp) (empirically: variance 0.5 on a
+        # standard normal). We return the correct correction.
+        qxy = (joint1 - joint0) - (logp1 - logp0)
         qxy = jnp.where(jnp.isnan(qxy), -jnp.inf, qxy)
         return backward(ctx, q), qxy
 

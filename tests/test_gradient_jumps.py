@@ -1,0 +1,230 @@
+"""Gradient-jump family tests: leapfrog reversibility, HMC/MALA/NUTS sampling
+correctness on Gaussian targets, dual-averaging behavior, and the e2e
+reference scenario of tests/test_nuts.py (40-D interval-transformed normal)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptmcmcsampler_tpu import PTSampler
+from ptmcmcsampler_tpu.config import JumpSpec, SamplerConfig
+from ptmcmcsampler_tpu.kernel import build_step
+from ptmcmcsampler_tpu.proposals import gradient as grad_mod
+from ptmcmcsampler_tpu.proposals.base import ProposalContext
+from ptmcmcsampler_tpu.state import init_state
+
+
+def gaussian_model(ndim):
+    def logl(x):
+        return -0.5 * jnp.sum(x**2) - ndim * 0.5 * jnp.log(2 * jnp.pi)
+
+    def logp(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 20.0), 0.0, -jnp.inf)
+
+    def func_grad(x, beta):
+        ll = -0.5 * jnp.sum(x**2) - ndim * 0.5 * jnp.log(2 * jnp.pi)
+        return beta * ll + 0.0, beta * (-x)
+
+    return logl, logp, func_grad
+
+
+def make_ctx(ndim, cov=None):
+    cov = np.eye(ndim) if cov is None else cov
+    chol = np.linalg.cholesky(cov)
+    return ProposalContext(
+        group_u=(jnp.eye(ndim),),
+        group_s=(jnp.ones(ndim),),
+        chol=jnp.asarray(chol, jnp.float32),
+        chol_inv=jnp.asarray(np.linalg.solve(chol, np.eye(ndim)), jnp.float32),
+        de_buf=jnp.zeros((4, ndim)),
+        de_valid=jnp.asarray(0, jnp.int32),
+    )
+
+
+class TestLeapfrog:
+    def test_reversibility(self):
+        ndim = 5
+        _, _, func_grad = gaussian_model(ndim)
+        _, _, fgw = grad_mod.make_whitened_funcs(func_grad)
+        ctx = make_ctx(ndim)
+        key = jax.random.PRNGKey(0)
+        theta = jax.random.normal(key, (ndim,))
+        r = jax.random.normal(jax.random.fold_in(key, 1), (ndim,))
+        _, grad = fgw(ctx, theta, 1.0)
+        eps = jnp.asarray(0.1)
+        t1, r1, g1, _ = grad_mod.leapfrog(fgw, ctx, 1.0, theta, r, grad, eps)
+        # integrate back with negated momentum
+        t2, r2, _, _ = grad_mod.leapfrog(fgw, ctx, 1.0, t1, -r1, g1, eps)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(theta), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(-r2), np.asarray(r), atol=1e-5)
+
+    def test_energy_conservation(self):
+        ndim = 5
+        _, _, func_grad = gaussian_model(ndim)
+        _, _, fgw = grad_mod.make_whitened_funcs(func_grad)
+        ctx = make_ctx(ndim)
+        key = jax.random.PRNGKey(1)
+        theta = jax.random.normal(key, (ndim,))
+        r = jax.random.normal(jax.random.fold_in(key, 1), (ndim,))
+        logp, grad = fgw(ctx, theta, 1.0)
+        h0 = grad_mod.loghamiltonian(logp, r)
+        eps = jnp.asarray(0.05)
+        for _ in range(100):
+            theta, r, grad, logp = grad_mod.leapfrog(fgw, ctx, 1.0, theta, r, grad, eps)
+        h1 = grad_mod.loghamiltonian(logp, r)
+        assert abs(float(h1 - h0)) < 0.05
+
+
+class TestFindReasonableEpsilon:
+    def test_gaussian_epsilon_order_one(self):
+        ndim = 4
+        _, _, func_grad = gaussian_model(ndim)
+        _, _, fgw = grad_mod.make_whitened_funcs(func_grad)
+        ctx = make_ctx(ndim)
+        theta0 = jnp.zeros(ndim) + 0.5
+        logp0, grad0 = fgw(ctx, theta0, 1.0)
+        eps = grad_mod.find_reasonable_epsilon(
+            jax.random.PRNGKey(2), fgw, ctx, 1.0, theta0, grad0, logp0
+        )
+        assert 0.05 < float(eps) < 8.0
+
+
+def build_gradient_sampler(jump_kind, ndim=4, nchains=16, seed=0, **cfg_kw):
+    logl, logp, func_grad = gaussian_model(ndim)
+    cfg = SamplerConfig(
+        ndim=ndim,
+        ntemps=1,
+        nchains=nchains,
+        groups=(tuple(range(ndim)),),
+        jumps=(JumpSpec(jump_kind, jump_kind, 10),),
+        tskip=100,
+        cov_update=10**9,  # freeze adaptation: pure gradient-jump test
+        burn=200,
+        thin=1,
+        de_size=100,
+        **cfg_kw,
+    )
+    step, run_block = build_step(cfg, logl, logp, func_grad)
+    x0 = np.zeros(ndim)
+    xs = jnp.zeros((1, nchains, ndim))
+    ll0 = jax.vmap(jax.vmap(logl))(xs)
+    lp0 = jax.vmap(jax.vmap(logp))(xs)
+    state = init_state(cfg, jax.random.PRNGKey(seed), x0, np.eye(ndim), None or np.ones(1), ll0, lp0)
+    return cfg, run_block, state
+
+
+class TestHMCSampling:
+    @pytest.mark.slow
+    def test_hmc_samples_standard_normal(self):
+        cfg, run_block, state = build_gradient_sampler(
+            "hmc", hmc_stepsize=0.2, hmc_nminsteps=2, hmc_nmaxsteps=20
+        )
+        state, _ = run_block(state, 300)
+        state, out = run_block(state, 700)
+        samples = np.asarray(out.x[:, 0]).reshape(-1, cfg.ndim)
+        np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.15)
+        np.testing.assert_allclose(samples.std(axis=0), 1.0, rtol=0.15)
+        acc = np.asarray(state.counters.naccepted).mean() / int(state.it)
+        assert acc > 0.5  # HMC on a Gaussian with small steps accepts nearly always
+
+
+class TestMALA:
+    def test_mala_proposal_finite_and_mh_consistent(self):
+        cfg, run_block, state = build_gradient_sampler("mala")
+        state, out = run_block(state, 200)
+        assert np.all(np.isfinite(np.asarray(out.x)))
+        acc = np.asarray(state.counters.naccepted).mean() / int(state.it)
+        assert acc > 0.1
+
+
+class TestNUTSSampling:
+    @pytest.mark.slow
+    def test_nuts_samples_standard_normal(self):
+        cfg, run_block, state = build_gradient_sampler("nuts", nchains=16)
+        state, _ = run_block(state, 300)  # includes dual-averaging burn (200)
+        state, out = run_block(state, 700)
+        samples = np.asarray(out.x[:, 0]).reshape(-1, cfg.ndim)
+        np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.15)
+        np.testing.assert_allclose(samples.std(axis=0), 1.0, rtol=0.15)
+        # NUTS returns qxy so the outer MH step always accepts (nutsjump.py:837-840)
+        acc = np.asarray(state.counters.naccepted).mean() / int(state.it)
+        assert acc > 0.95
+
+    def test_dual_averaging_moves_epsilon(self):
+        cfg, run_block, state = build_gradient_sampler("nuts", nchains=4)
+        state, _ = run_block(state, 100)
+        eps = np.asarray(state.stepsize.epsilon)
+        ncalls = np.asarray(state.stepsize.ncalls)
+        assert np.all(ncalls > 0)
+        assert np.all(eps > 0)
+        assert np.all(np.isfinite(eps))
+
+    def test_correlated_gaussian_with_mass_matrix(self):
+        # whitening with the target covariance should make NUTS efficient
+        ndim = 3
+        cov = np.array([[1.0, 0.8, 0.0], [0.8, 1.0, 0.0], [0.0, 0.0, 4.0]])
+        icov = np.linalg.inv(cov)
+
+        def logl(x):
+            return -0.5 * x @ jnp.asarray(icov, jnp.float32) @ x
+
+        def logp(x):
+            return jnp.zeros(())
+
+        def func_grad(x, beta):
+            g = -jnp.asarray(icov, jnp.float32) @ x
+            return beta * (-0.5 * x @ jnp.asarray(icov, jnp.float32) @ x), beta * g
+
+        cfg = SamplerConfig(
+            ndim=ndim, ntemps=1, nchains=32, groups=(tuple(range(ndim)),),
+            jumps=(JumpSpec("nuts", "nuts", 10),),
+            cov_update=10**9, burn=200, thin=1, de_size=10,
+        )
+        step, run_block = build_step(cfg, logl, logp, func_grad)
+        xs = jnp.zeros((1, 32, ndim))
+        ll0 = jax.vmap(jax.vmap(logl))(xs)
+        lp0 = jax.vmap(jax.vmap(logp))(xs)
+        state = init_state(cfg, jax.random.PRNGKey(3), np.zeros(ndim), cov, np.ones(1), ll0, lp0)
+        state, _ = run_block(state, 300)
+        state, out = run_block(state, 500)
+        samples = np.asarray(out.x[:, 0]).reshape(-1, ndim)
+        emp = np.cov(samples.T)
+        np.testing.assert_allclose(emp, cov, atol=0.35)
+
+
+class TestReferenceNutsScenario:
+    """The reference test_nuts.py scenario via PTSampler with gradient callables."""
+
+    def test_mixed_cycle_with_grads(self, tmp_path):
+        ndim = 10
+
+        def lnlike(x):
+            return -0.5 * jnp.sum(x**2) - ndim * 0.5 * jnp.log(2 * jnp.pi)
+
+        def lnprior(x):
+            return jnp.where(jnp.all(jnp.abs(x) < 10.0), 0.0, -jnp.inf)
+
+        lnlike_grad = jax.value_and_grad(lnlike)
+
+        def lnprior_grad(x):
+            return lnprior(x), jnp.zeros_like(x)
+
+        sampler = PTSampler(
+            ndim, lnlike, lnprior, np.eye(ndim),
+            logl_grad=lnlike_grad, logp_grad=lnprior_grad,
+            ntemps=1, nchains=8, outDir=str(tmp_path / "chains"),
+            verbose=False, seed=6,
+        )
+        sampler.sample(
+            np.ones(ndim) * 0.1, 1000, burn=500, thin=1, covUpdate=500,
+            SCAMweight=10, AMweight=10, DEweight=10, NUTSweight=10,
+            HMCweight=10, MALAweight=0, HMCsteps=20, HMCstepsize=0.2,
+        )
+        names = sampler.config.jump_names()
+        assert "NUTSJUMP" in names and "HMCJump" in names
+        proposed = np.asarray(sampler.state.counters.jump_proposed)
+        assert proposed[names.index("NUTSJUMP")].sum() > 0
+        assert proposed[names.index("HMCJump")].sum() > 0
+        samples = sampler.chain[300:]
+        assert np.all(np.abs(samples.mean(axis=0)) < 0.5)

@@ -1,0 +1,100 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The JAX analogue of the reference's (untested-in-CI) multi-rank MPI paths
+(SURVEY.md §4): the temperature-sharded step program must compile, execute,
+and produce the same results as the unsharded program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptmcmcsampler_tpu.config import SamplerConfig, build_default_jumps
+from ptmcmcsampler_tpu.kernel import build_step
+from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
+from ptmcmcsampler_tpu.parallel import make_temp_mesh, shard_state
+from ptmcmcsampler_tpu.state import init_state
+
+
+def build(ntemps=8, nchains=4, ndim=3, swap_mode="sweep"):
+    def logl(x):
+        return -0.5 * jnp.sum(x**2)
+
+    def logp(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 20.0), 0.0, -jnp.inf)
+
+    cfg = SamplerConfig(
+        ndim=ndim, ntemps=ntemps, nchains=nchains,
+        groups=(tuple(range(ndim)),),
+        jumps=build_default_jumps(burn=20),
+        tskip=5, cov_update=20, burn=20, thin=1, de_size=50,
+        swap_mode=swap_mode,
+    )
+    step, run_block = build_step(cfg, logl, logp)
+    ladder = temperature_ladder(ndim, ntemps)
+    _, betas = ladder_betas(ladder)
+    xs = jnp.zeros((ntemps, nchains, ndim)) + 0.3
+    ll0 = jax.vmap(jax.vmap(logl))(xs)
+    lp0 = jax.vmap(jax.vmap(logp))(xs)
+    state = init_state(
+        cfg, jax.random.PRNGKey(0), np.zeros(ndim) + 0.3, np.eye(ndim) * 0.1,
+        betas, ll0, lp0,
+    )
+    return cfg, step, run_block, state
+
+
+@pytest.mark.parametrize("swap_mode", ["sweep", "deo"])
+def test_sharded_step_matches_unsharded(swap_mode):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+    cfg, step, run_block, state = build(swap_mode=swap_mode)
+
+    # Unsharded result.
+    ref_state, ref_out = run_block(state, 10)
+
+    # Temperature-sharded over an 8-device mesh.
+    mesh = make_temp_mesh(8)
+    sstate = shard_state(state, mesh)
+    sh_state, sh_out = run_block(sstate, 10)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_out.x), np.asarray(jax.device_get(sh_out.x)), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state.adapt.cov),
+        np.asarray(jax.device_get(sh_state.adapt.cov)),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_state.counters.naccepted),
+        np.asarray(jax.device_get(sh_state.counters.naccepted)),
+    )
+
+
+def test_sharded_swaps_mix_temperatures():
+    cfg, step, run_block, state = build(swap_mode="deo")
+    mesh = make_temp_mesh(8)
+    sstate = shard_state(state, mesh)
+    sstate, _ = run_block(sstate, 50)
+    acc = np.asarray(jax.device_get(sstate.counters.swaps_accepted))
+    assert acc[:-1].sum() > 0
+
+
+def test_chain_axis_sharding_compiles():
+    # Shard chains instead of temperatures (dp-style axis).
+    cfg, step, run_block, state = build(ntemps=2, nchains=8)
+    mesh = make_temp_mesh(4, axis="chain")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf,
+            NamedSharding(
+                mesh,
+                P(None, "chain") if (np.ndim(leaf) >= 2 and np.shape(leaf)[1] == 8) else P(),
+            ),
+        ),
+        state,
+    )
+    out_state, out = run_block(sharded, 5)
+    assert np.all(np.isfinite(np.asarray(jax.device_get(out.x))))
