@@ -1,0 +1,140 @@
+"""Benchmark: effective samples/sec on the curved-likelihood workload.
+
+The headline metric from BASELINE.json: effective samples/sec/chip on the
+curved (banana) likelihood of examples/curved_likelihood.ipynb, with the full
+jump cycle (SCAM/AM/DE + NUTS/HMC, MALA off) and an 8-rung parallel-tempering
+ladder — the reference's `mpirun -np 8` workload mapped onto one TPU chip via
+vmapped chains and an on-device ladder.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline denominator (see tools/measure_baseline.py): the reference sampler
+measured in this container on the same posterior, single process (mpirun is
+unavailable; one rank's wall-clock per iteration equals the 8-rank case since
+ranks step concurrently). ESS uses the cross-chain (Stan-style) pooled
+estimator, which penalizes chains stuck in different modes — no vmap
+overcounting.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Measured via tools/measure_baseline.py (reference @ /root/reference, this
+# container, 20k iterations, full jump cycle incl. NUTS/HMC):
+#   {"iters_per_sec": ..., "ess_per_sec": ...}
+BASELINE_ESS_PER_SEC = None  # filled by tools/measure_baseline.py output
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+
+
+def _baseline():
+    if os.path.isfile(_BASELINE_FILE):
+        with open(_BASELINE_FILE) as f:
+            return json.load(f).get("ess_per_sec", 1.0)
+    return 1.0
+
+
+def main(ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True):
+    import jax
+    import jax.numpy as jnp
+
+    from ptmcmcsampler_tpu.config import SamplerConfig, build_default_jumps
+    from ptmcmcsampler_tpu.diagnostics import multichain_ess
+    from ptmcmcsampler_tpu.kernel import build_step
+    from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
+    from ptmcmcsampler_tpu.models import CurvedLikelihood
+    from ptmcmcsampler_tpu.state import init_state
+
+    model = CurvedLikelihood()
+    ndim = model.ndim
+
+    def func_grad(x, beta):
+        ll, gll = model.lnlikefn_grad(x)
+        lp, glp = model.lnpriorfn_grad(x)
+        return beta * ll + lp, beta * gll + glp
+
+    cfg = SamplerConfig(
+        ndim=ndim,
+        ntemps=ntemps,
+        nchains=nchains,
+        groups=(tuple(range(ndim)),),
+        jumps=build_default_jumps(
+            SCAMweight=10, AMweight=10, DEweight=10,
+            NUTSweight=10 if with_grads else 0,
+            HMCweight=10 if with_grads else 0,
+            MALAweight=0, burn=burn_iters // 2, have_grads=with_grads,
+        ),
+        tskip=100,
+        cov_update=1000,
+        burn=burn_iters // 2,
+        thin=1,
+        de_size=2000,
+        hmc_stepsize=0.08,
+        hmc_nmaxsteps=50,
+        nuts_max_depth=8,
+    )
+    step, run_block = build_step(
+        cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None
+    )
+
+    ladder = temperature_ladder(ndim, ntemps)
+    _, betas = ladder_betas(ladder)
+    x0 = np.array([-0.1, -0.5])
+    xs = jnp.broadcast_to(jnp.asarray(x0, cfg.dtype), (ntemps, nchains, ndim))
+    ll0 = jax.vmap(jax.vmap(model.lnlikefn))(xs)
+    lp0 = jax.vmap(jax.vmap(model.lnpriorfn))(xs)
+    state = init_state(cfg, jax.random.PRNGKey(7), x0, np.eye(ndim), betas, ll0, lp0)
+
+    # Warmup: compile + burn-in/adaptation.
+    block = 1000
+    state, out = run_block(state, block)
+    jax.block_until_ready(out.x)
+    for _ in range(burn_iters // block - 1):
+        state, out = run_block(state, block)
+    jax.block_until_ready(out.x)
+
+    # Timed window.
+    t0 = time.time()
+    cold_blocks = []
+    for _ in range(timed_iters // block):
+        state, out = run_block(state, block)
+        cold_blocks.append(out.x[:, 0])  # [block, C, D] cold rung, stays on device
+    jax.block_until_ready(cold_blocks[-1])
+    elapsed = time.time() - t0
+
+    cold = np.concatenate([np.asarray(jax.device_get(b)) for b in cold_blocks], axis=0)
+    # [timed_iters, C, D] -> chains-major [C, N, D]
+    chains = np.moveaxis(cold, 0, 1)
+    ess = multichain_ess(chains)
+    ess_min = float(np.min(ess))
+    ess_per_sec = ess_min / elapsed
+    iters_per_sec = timed_iters / elapsed
+
+    baseline = _baseline()
+    result = {
+        "metric": "curved_likelihood_ess_per_sec",
+        "value": round(ess_per_sec, 2),
+        "unit": "eff_samples/s/chip",
+        "vs_baseline": round(ess_per_sec / baseline, 2) if baseline else None,
+        "iters_per_sec": round(iters_per_sec, 1),
+        "nchains": nchains,
+        "ntemps": ntemps,
+        "timed_iters": timed_iters,
+        "elapsed_sec": round(elapsed, 2),
+        "ess_min_dim": round(ess_min, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    kwargs = {}
+    for arg in sys.argv[1:]:
+        if "=" in arg:
+            k, v = arg.split("=", 1)
+            kwargs[k] = int(v) if v.isdigit() else v
+    main(**kwargs)

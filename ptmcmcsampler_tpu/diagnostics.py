@@ -57,3 +57,52 @@ def effective_samples(chain, niter=None):
     """N_eff = iterations / max-tau (reference formula, PTMCMCSampler.py:512)."""
     n = niter if niter is not None else len(chain)
     return n / max(1.0, max_autocorr_time(chain))
+
+
+def multichain_ess(chains):
+    """Cross-chain effective sample size per parameter (Stan-style).
+
+    chains: [nchains, nsteps, ndim]. Uses the rank-normalization-free
+    Vehtari/Gelman combined estimator: per-chain autocovariances averaged,
+    corrected by the between-chain variance, with Geyer initial-monotone
+    truncation. This correctly *penalizes* chains stuck in different modes
+    (vital for multimodal targets like the curved likelihood), so vmapped
+    chain batches cannot overclaim ESS.
+
+    Returns an array [ndim] of ESS estimates for the pooled sample.
+    """
+    chains = np.asarray(chains, dtype=np.float64)
+    m, n, d = chains.shape
+    ess = np.empty(d)
+    for k in range(d):
+        x = chains[:, :, k]
+        chain_means = x.mean(axis=1)
+        chain_vars = x.var(axis=1, ddof=1)
+        w = chain_vars.mean()
+        b = n * chain_means.var(ddof=1) if m > 1 else 0.0
+        var_plus = w * (n - 1) / n + b / n if m > 1 else w * (n - 1) / n
+        if var_plus <= 0 or not np.isfinite(var_plus):
+            ess[k] = float(m * n)
+            continue
+        # Mean autocovariance across chains.
+        acov = np.zeros(n)
+        for j in range(m):
+            f = autocorr_function(x[j])
+            acov += f * chain_vars[j] * (n - 1) / n
+        acov /= m
+        rho = 1.0 - (w - acov) / var_plus
+        # Geyer initial-positive + initial-monotone sequence over pair sums
+        # P_t = rho[2t] + rho[2t+1]; tau = -1 + 2 * sum(P_t).
+        npairs = n // 2
+        prev = np.inf
+        s = 0.0
+        for t in range(npairs):
+            pair = rho[2 * t] + (rho[2 * t + 1] if 2 * t + 1 < n else 0.0)
+            if pair < 0:
+                break
+            pair = min(pair, prev)
+            prev = pair
+            s += pair
+        tau = max(1.0, -1.0 + 2.0 * s)
+        ess[k] = m * n / tau
+    return ess

@@ -17,7 +17,9 @@ HOT_TEMP = 1e80  # reference's prior-sampling chain temperature (PTMCMCSampler.p
 def temperature_ladder(ndim, ntemps, tmin=1.0, tmax=None, tstep=None):
     """Build a geometric temperature ladder as a host numpy array."""
     if ntemps <= 1:
-        return np.array([1.0])
+        # Integer 1, so the chain file is named "chain_1.txt" exactly like the
+        # reference's single-chain case (PTMCMCSampler.py:718, :285).
+        return np.array([1])
     if tstep is None and tmax is None:
         tstep = 1.0 + np.sqrt(2.0 / ndim)
     elif tstep is None:
@@ -33,7 +35,10 @@ def ladder_betas(ladder, hot_chain=False):
     beta of 1e-80 underflows to exactly 0.0, which `tempered_lnprob` handles
     with the same semantics (a -inf likelihood still rejects).
     """
-    ladder = np.asarray(ladder, dtype=np.float64).copy()
+    ladder = np.asarray(ladder).copy()
     if hot_chain and len(ladder) > 1:
+        ladder = ladder.astype(np.float64)
         ladder[-1] = HOT_TEMP
-    return ladder, 1.0 / ladder
+    # Preserve the ladder's dtype for file naming (an int ladder [1] names
+    # "chain_1.txt" like the reference); betas are always float.
+    return ladder, 1.0 / ladder.astype(np.float64)
