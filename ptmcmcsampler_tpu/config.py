@@ -94,6 +94,7 @@ class SamplerConfig:
     nuts_max_depth: int = 10
     nuts_force_epsilon: Optional[float] = None
     nuts_force_trajlen: Optional[int] = None
+    nuts_trajectory: bool = False  # capture (T0, C0) trajectories (nutsjump.py:818-835)
     mass_adapt: bool = False  # reference keeps the initial mass matrix (nutsjump.py:210-215)
 
     def __post_init__(self):

@@ -35,6 +35,8 @@ class BlockOutput(NamedTuple):
     x: jax.Array  # [rows, T, C, D]
     lnlike: jax.Array  # [rows, T, C]
     lnprob: jax.Array  # [rows, T, C]
+    it: jax.Array  # [rows] iteration number of each emitted row
+    traj: object = None  # TrajCapture rows when config.nuts_trajectory
 
 
 def _ss_to_dict(ss):
@@ -96,6 +98,22 @@ def build_step(
     aux_chain = build_aux_chain(config)
     n_aux = len(config.aux_jumps)
 
+    # Optional NUTS trajectory capture for (temp 0, chain 0) — the TPU-native
+    # form of the reference's trajectoryDir facility (nutsjump.py:818-835).
+    # The capture kernel re-runs NUTS for that one chain with the same PRNG
+    # key as the vmapped branch, so the recorded trajectory is identical.
+    capture_kernel = None
+    nuts_idx = None
+    if config.nuts_trajectory and config.jump_select == "shared" and func_grad is not None:
+        from .proposals import nuts as _nuts_mod
+        from .trajectory import TrajCapture, empty_capture
+
+        for _i, _sp in enumerate(config.jumps):
+            if _sp.kind == "nuts":
+                nuts_idx = _i
+        if nuts_idx is not None:
+            capture_kernel = _nuts_mod.make_nuts(config, func_grad, capture=True)
+
     def propose(key, state: SamplerState, it):
         """Draw a jump from the cycle and apply it (reference ``_jump``,
         PTMCMCSampler.py:1048-1067)."""
@@ -106,12 +124,24 @@ def build_step(
         logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
         keys = jax.random.split(k_jump, t * c).reshape(t, c, -1)
 
+        cap = None
         if config.jump_select == "shared":
             jidx = jax.random.categorical(k_kind, logits)
             q, qxy, new_ss = jax.lax.switch(
                 jidx, branches, keys, state.x, state.betas, it, ctx, ss
             )
             jidx_full = jnp.broadcast_to(jidx, (t, c))
+            if capture_kernel is not None:
+                def _do_cap(_):
+                    ss00 = {k: v[0, 0] for k, v in ss.items()}
+                    _, _, _, cp = capture_kernel(
+                        keys[0, 0], state.x[0, 0], state.betas[0], it, ctx, ss00
+                    )
+                    return TrajCapture(**cp)
+
+                cap = jax.lax.cond(
+                    jidx == nuts_idx, _do_cap, lambda _: empty_capture(config), None
+                )
         else:
             jidx_full = jax.random.categorical(k_kind, logits, shape=(t, c))
             # Evaluate every (cheap) branch and select per chain.
@@ -126,11 +156,11 @@ def build_step(
             aux_keys = jax.random.split(k_aux, t * c * n_aux).reshape(t, c, n_aux, -1)
             q, qxy = aux_chain(aux_keys, state.x, q, qxy, state.betas, it)
 
-        return q, qxy, jidx_full, _ss_from_dict(state.stepsize, new_ss)
+        return q, qxy, jidx_full, _ss_from_dict(state.stepsize, new_ss), cap
 
     def mh_step(key, state: SamplerState, it):
         k_prop, k_acc = jax.random.split(key)
-        q, qxy, jidx, new_sstate = propose(k_prop, state, it)
+        q, qxy, jidx, new_sstate, cap = propose(k_prop, state, it)
 
         # Prior first; likelihood evaluated on a prior-feasible surrogate so
         # -inf-prior proposals never feed NaNs into the likelihood
@@ -157,9 +187,12 @@ def build_step(
             jump_proposed=ctr.jump_proposed + proposed,
             jump_accepted=ctr.jump_accepted + proposed * accept.astype(jnp.int32)[None],
         )
-        return state.replace(
+        new = state.replace(
             x=x, lnlike=lnlike, lnprior=lnprior, counters=ctr, stepsize=new_sstate
         )
+        if cap is not None:
+            new = new.replace(traj=cap)
+        return new
 
     def pt_swap(key, state: SamplerState, it):
         """Cadenced replica exchange (PTMCMCSampler.py:624-625, :631-697)."""
@@ -221,6 +254,8 @@ def build_step(
             x=state.x,
             lnlike=state.lnlike,
             lnprob=utils.tempered_lnprob(state.lnlike, state.lnprior, state.betas[:, None]),
+            it=state.it,
+            traj=state.traj,
         )
         return state, out
 

@@ -49,10 +49,14 @@ def _trailing_ones(k):
     return jax.lax.population_count((kp & -kp) - 1)
 
 
-def make_nuts(config, func_grad):
+def make_nuts(config, func_grad, capture=False):
+    """Build the NUTS kernel. With ``capture=True`` the returned function also
+    returns a trajectory-capture dict (plus/minus branch buffers + used index,
+    reference nutsjump.py:294-376, :522-527) for the trajectoryDir facility."""
     forward, backward, fgw = make_whitened_funcs(func_grad)
     ndim = config.ndim
     max_depth = config.nuts_max_depth
+    n_buf = 1 << max_depth
     delta = config.nuts_delta
     force_eps = config.nuts_force_epsilon
     force_trajlen = config.nuts_force_trajlen
@@ -65,7 +69,9 @@ def make_nuts(config, func_grad):
             cont = total_leaves < force_trajlen
         return cont
 
-    def build_subtree(key, z, r, grad, v, depth, eps, logu, joint0, beta, ctx, leaves_before):
+    def build_subtree(
+        key, z, r, grad, v, depth, eps, logu, joint0, beta, ctx, leaves_before, cap=None
+    ):
         """Integrate up to 2**depth leaves in direction v from (z, r, grad)."""
         dt = z.dtype
         n_leaves = jnp.left_shift(jnp.ones((), jnp.int32), depth)
@@ -93,6 +99,31 @@ def make_nuts(config, func_grad):
 
             alpha = c["alpha"] + jnp.minimum(1.0, jnp.exp(joint - joint0)).astype(dt)
             nalpha = c["nalpha"] + 1.0
+
+            extra = {}
+            if capture:
+                # Record the leaf in the branch buffer with its global
+                # leapfrog-step index (nutsjump.py:522-527).
+                gind = c["gind"] + 1
+                is_plus = v > 0
+                extra = dict(
+                    gind=gind,
+                    tb_plus=jnp.where(
+                        is_plus, c["tb_plus"].at[c["lp_len"]].set(z1), c["tb_plus"]
+                    ),
+                    ti_plus=jnp.where(
+                        is_plus, c["ti_plus"].at[c["lp_len"]].set(gind), c["ti_plus"]
+                    ),
+                    tb_minus=jnp.where(
+                        is_plus, c["tb_minus"], c["tb_minus"].at[c["lm_len"]].set(z1)
+                    ),
+                    ti_minus=jnp.where(
+                        is_plus, c["ti_minus"], c["ti_minus"].at[c["lm_len"]].set(gind)
+                    ),
+                    lp_len=c["lp_len"] + is_plus.astype(jnp.int32),
+                    lm_len=c["lm_len"] + (~is_plus).astype(jnp.int32),
+                    used_ind=jnp.where(take, gind, c["used_ind"]),
+                )
 
             # Checkpoint U-turn bookkeeping.
             is_even = (k % 2) == 0
@@ -123,21 +154,24 @@ def make_nuts(config, func_grad):
 
             s_sub = ~diverged & ~turning
             return dict(
-                key=key,
-                k=k + 1,
-                z=z1,
-                r=r1,
-                grad=g1,
-                n_sub=n_sub,
-                z_prop=z_prop,
-                logp_prop=logp_prop,
-                s_sub=s_sub,
-                diverged=c["diverged"] | diverged,
-                alpha=alpha,
-                nalpha=nalpha,
-                ckpt_z=ckpt_z,
-                ckpt_r=ckpt_r,
-                top=top,
+                dict(
+                    key=key,
+                    k=k + 1,
+                    z=z1,
+                    r=r1,
+                    grad=g1,
+                    n_sub=n_sub,
+                    z_prop=z_prop,
+                    logp_prop=logp_prop,
+                    s_sub=s_sub,
+                    diverged=c["diverged"] | diverged,
+                    alpha=alpha,
+                    nalpha=nalpha,
+                    ckpt_z=ckpt_z,
+                    ckpt_r=ckpt_r,
+                    top=top,
+                ),
+                **extra,
             )
 
         init = dict(
@@ -157,6 +191,8 @@ def make_nuts(config, func_grad):
             ckpt_r=ckpt_r0,
             top=jnp.zeros((), jnp.int32),
         )
+        if capture:
+            init.update(cap)
         out = jax.lax.while_loop(cond, body, init)
         return out
 
@@ -204,9 +240,21 @@ def make_nuts(config, func_grad):
             g_edge = jnp.where(go_minus, c["g_minus"], c["g_plus"])
             leaves_before = c["n_leaves"]
 
+            cap = None
+            if capture:
+                cap = dict(
+                    gind=c["gind"],
+                    tb_plus=c["tb_plus"],
+                    ti_plus=c["ti_plus"],
+                    tb_minus=c["tb_minus"],
+                    ti_minus=c["ti_minus"],
+                    lp_len=c["lp_len"],
+                    lm_len=c["lm_len"],
+                    used_ind=c["used_ind"],
+                )
             sub = build_subtree(
                 k_sub, z_edge, r_edge, g_edge, v, c["j"], epsilon, logu, joint0, beta,
-                ctx, leaves_before,
+                ctx, leaves_before, cap,
             )
 
             z_minus = jnp.where(go_minus, sub["z"], c["z_minus"])
@@ -228,8 +276,23 @@ def make_nuts(config, func_grad):
             dz = z_plus - z_minus
             s = sub["s_sub"] & cont_criterion(dz, r_minus, r_plus, n_leaves)
 
+            extra = {}
+            if capture:
+                # The used index advances only if the subtree's proposal was
+                # taken (reference trajind bookkeeping, nutsjump.py:736-791).
+                extra = dict(
+                    gind=sub["gind"],
+                    tb_plus=sub["tb_plus"],
+                    ti_plus=sub["ti_plus"],
+                    tb_minus=sub["tb_minus"],
+                    ti_minus=sub["ti_minus"],
+                    lp_len=sub["lp_len"],
+                    lm_len=sub["lm_len"],
+                    used_ind=jnp.where(accept, sub["used_ind"], c["used_ind"]),
+                )
             return dict(
-                key=key,
+                dict(
+                    key=key,
                 z_minus=z_minus,
                 r_minus=r_minus,
                 g_minus=g_minus,
@@ -238,12 +301,14 @@ def make_nuts(config, func_grad):
                 g_plus=g_plus,
                 z_prop=z_prop,
                 logp_prop=logp_prop,
-                n=c["n"] + sub["n_sub"],
-                s=s,
-                j=c["j"] + 1,
-                alpha=c["alpha"] + sub["alpha"],
-                nalpha=c["nalpha"] + sub["nalpha"],
-                n_leaves=n_leaves,
+                    n=c["n"] + sub["n_sub"],
+                    s=s,
+                    j=c["j"] + 1,
+                    alpha=c["alpha"] + sub["alpha"],
+                    nalpha=c["nalpha"] + sub["nalpha"],
+                    n_leaves=n_leaves,
+                ),
+                **extra,
             )
 
         init = dict(
@@ -263,6 +328,19 @@ def make_nuts(config, func_grad):
             nalpha=jnp.zeros((), dt),
             n_leaves=jnp.zeros((), jnp.int32),
         )
+        if capture:
+            # Start sample goes on the plus buffer with index 0
+            # (nutsjump.py:712-713).
+            init.update(
+                gind=jnp.zeros((), jnp.int32),
+                tb_plus=jnp.zeros((n_buf, ndim), dt).at[0].set(q0),
+                ti_plus=jnp.zeros((n_buf,), jnp.int32),
+                tb_minus=jnp.zeros((n_buf, ndim), dt),
+                ti_minus=jnp.zeros((n_buf,), jnp.int32),
+                lp_len=jnp.ones((), jnp.int32),
+                lm_len=jnp.zeros((), jnp.int32),
+                used_ind=jnp.zeros((), jnp.int32),
+            )
         out = jax.lax.while_loop(cond, body, init)
 
         # Dual averaging (nutsjump.py:804-816).
@@ -288,6 +366,18 @@ def make_nuts(config, func_grad):
 
         qxy = (logp0 - out["logp_prop"]).astype(dt)
         qxy = jnp.where(jnp.isnan(qxy), -jnp.inf, qxy)
+        if capture:
+            cap = dict(
+                plus=out["tb_plus"],
+                minus=out["tb_minus"],
+                ind_plus=out["ti_plus"],
+                ind_minus=out["ti_minus"],
+                len_plus=out["lp_len"],
+                len_minus=out["lm_len"],
+                used_ind=out["used_ind"],
+                active=jnp.ones((), bool),
+            )
+            return backward(ctx, out["z_prop"]), qxy, new_ss, cap
         return backward(ctx, out["z_prop"]), qxy, new_ss
 
     return nuts

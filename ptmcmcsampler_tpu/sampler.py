@@ -268,7 +268,9 @@ class PTSampler:
 
     # --------------------------------------------------------------- sample
 
-    def _build_config(self, weights, burn, tskip, cov_update, thin, hmc_kwargs):
+    def _build_config(
+        self, weights, burn, tskip, cov_update, thin, hmc_kwargs, nuts_trajectory=False
+    ):
         have_grads = self._logl_grad_fn is not None
         jumps = list(
             build_default_jumps(
@@ -302,6 +304,7 @@ class PTSampler:
             hmc_stepsize=hmc_kwargs.get("stepsize", 0.1),
             hmc_nminsteps=hmc_kwargs.get("nminsteps", 2),
             hmc_nmaxsteps=hmc_kwargs.get("nmaxsteps", 300),
+            nuts_trajectory=nuts_trajectory,
         )
 
     def _func_grad(self):
@@ -342,6 +345,9 @@ class PTSampler:
         neff=None,
         writeHotChains=False,
         hotChain=False,
+        trajectoryDir=None,
+        write_burnin=False,
+        profile_dir=None,
     ):
         """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
         del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
@@ -371,7 +377,14 @@ class PTSampler:
         config = self._build_config(
             weights, burn, Tskip, covUpdate,
             thin, dict(stepsize=HMCstepsize, nminsteps=2, nmaxsteps=HMCsteps),
+            nuts_trajectory=trajectoryDir is not None,
         )
+        if trajectoryDir is not None:
+            from .trajectory import TrajectoryWriter
+
+            self._traj_writer = TrajectoryWriter(trajectoryDir, burn, write_burnin)
+        else:
+            self._traj_writer = None
         self.config = config
         if MALAweight and self._logl_grad_fn is not None and self.verbose:
             print("WARNING: MALA jumps are not working properly yet")  # :230-231
@@ -439,6 +452,12 @@ class PTSampler:
         run_complete = it >= Niter
         message = ""
 
+        # Tracing/profiling (SURVEY §5: the reference has none; here the
+        # sampling loop can be captured with the XLA profiler and viewed in
+        # TensorBoard/Perfetto).
+        if profile_dir is not None:
+            jax.profiler.start_trace(profile_dir)
+
         while not run_complete:
             todo_iters = Niter - it
             rows = min(rows_per_block, max(todo_iters // thin, 1))
@@ -464,6 +483,8 @@ class PTSampler:
                 meta=dict(iter=int(it), niter=int(Niter), thin=int(thin), isave=int(isave)),
             )
 
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
         if self.verbose:
             print(message)
         del lp_arr
@@ -481,6 +502,20 @@ class PTSampler:
         self._chain_host.append(x[:, 0, 0, :])
         self._lnlike_host.append(lnlike[:, 0, 0])
         self._lnprob_host.append(lnprob[:, 0, 0])
+
+        if getattr(self, "_traj_writer", None) is not None and out.traj is not None:
+            tr = jax.device_get(out.traj)
+            its = np.asarray(jax.device_get(out.it))
+            for r in range(x.shape[0]):
+                self._traj_writer.write(
+                    int(its[r]),
+                    dict(
+                        plus=tr.plus[r], minus=tr.minus[r],
+                        ind_plus=tr.ind_plus[r], ind_minus=tr.ind_minus[r],
+                        len_plus=tr.len_plus[r], len_minus=tr.len_minus[r],
+                        used_ind=tr.used_ind[r], active=tr.active[r],
+                    ),
+                )
 
         nswap_prop = max(int(ctr.swaps_proposed), 1)
         for ti in range(self.ntemps):

@@ -78,6 +78,9 @@ class SamplerState:
     de: DEState
     stepsize: StepSizeState
     counters: Counters
+    # NUTS trajectory capture for (temp 0, chain 0); None unless
+    # config.nuts_trajectory is set (reference trajectoryDir facility).
+    traj: object = None
 
     @property
     def lnprob(self):
@@ -124,7 +127,13 @@ def init_state(
     j = config.njumps
     dt = config.dtype
     de_rows = max(config.de_size, c)
+    traj = None
+    if config.nuts_trajectory:
+        from .trajectory import empty_capture
+
+        traj = empty_capture(config)
     return SamplerState(
+        traj=traj,
         key=utils.as_2d_key(key),
         it=jnp.zeros((), jnp.int32),
         x=jnp.asarray(np.broadcast_to(x0, (t, c, d)), dtype=dt),
