@@ -98,3 +98,33 @@ def test_chain_axis_sharding_compiles():
     )
     out_state, out = run_block(sharded, 5)
     assert np.all(np.isfinite(np.asarray(jax.device_get(out.x))))
+
+
+def test_2d_pt_mesh_temp_and_chain():
+    """2-D (temp x chain) mesh: both axes sharded, results match unsharded."""
+    from ptmcmcsampler_tpu.parallel import make_pt_mesh, shard_state
+
+    cfg, step, run_block, state = build(ntemps=4, nchains=8)
+    ref_state, ref_out = run_block(state, 10)
+
+    mesh = make_pt_mesh(ntemp_devices=2, nchain_devices=4)
+    assert mesh.shape == {"temp": 2, "chain": 4}
+    sstate = shard_state(state, mesh, axis="temp", chain_axis="chain")
+    sh_state, sh_out = run_block(sstate, 10)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_out.x), np.asarray(jax.device_get(sh_out.x)),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_state.counters.naccepted),
+        np.asarray(jax.device_get(sh_state.counters.naccepted)),
+    )
+
+
+def test_initialize_distributed_serial_noop():
+    from ptmcmcsampler_tpu.parallel import initialize_distributed
+
+    # Single-process: must be a no-op (the MPIDummy analogue), twice.
+    initialize_distributed()
+    initialize_distributed()
