@@ -24,6 +24,10 @@ import time
 
 import numpy as np
 
+
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
 # Measured via tools/measure_baseline.py (reference @ /root/reference, this
 # container, 20k iterations, full jump cycle incl. NUTS/HMC):
 #   {"iters_per_sec": ..., "ess_per_sec": ...}
@@ -89,21 +93,34 @@ def main(ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=T
     lp0 = jax.vmap(jax.vmap(model.lnpriorfn))(xs)
     state = init_state(cfg, jax.random.PRNGKey(7), x0, np.eye(ndim), betas, ll0, lp0)
 
-    # Warmup: compile + burn-in/adaptation.
+    # Warmup: compile + burn-in/adaptation. A tiny block first cheaply
+    # detects a wedged TPU tunnel before the big compile.
+    def sync(arr):
+        # device_get of a scalar forces true completion of everything queued
+        # before it (the axon tunnel's block_until_ready returns early).
+        return float(jax.device_get(jnp.sum(arr)))
+
+    _log("smoke step...")
+    state_s, out_s = run_block(state, 1)
+    sync(out_s.lnlike)
+    _log("smoke ok; compiling main block...")
     block = 1000
     state, out = run_block(state, block)
-    jax.block_until_ready(out.x)
+    sync(out.lnlike)
+    _log("main block compiled; burn-in...")
     for _ in range(burn_iters // block - 1):
         state, out = run_block(state, block)
-    jax.block_until_ready(out.x)
+        sync(out.lnlike)
+    _log("burn-in done; timing...")
 
     # Timed window.
     t0 = time.time()
     cold_blocks = []
-    for _ in range(timed_iters // block):
+    for bi in range(timed_iters // block):
         state, out = run_block(state, block)
         cold_blocks.append(out.x[:, 0])  # [block, C, D] cold rung, stays on device
-    jax.block_until_ready(cold_blocks[-1])
+        sync(out.lnlike)
+        _log(f"timed block {bi + 1}/{timed_iters // block} at {time.time() - t0:.1f}s")
     elapsed = time.time() - t0
 
     cold = np.concatenate([np.asarray(jax.device_get(b)) for b in cold_blocks], axis=0)
@@ -137,4 +154,19 @@ if __name__ == "__main__":
         if "=" in arg:
             k, v = arg.split("=", 1)
             kwargs[k] = int(v) if v.isdigit() else v
-    main(**kwargs)
+    # The axon TPU tunnel occasionally drops with UNAVAILABLE mid-run and
+    # recovers after a pause. A faulted backend poisons the whole process, so
+    # retry by re-exec'ing a fresh interpreter, not by looping in-process.
+    attempt = int(kwargs.pop("_retry", 0))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    try:
+        main(**kwargs)
+    except Exception as e:  # noqa: BLE001
+        _log(f"attempt {attempt + 1}/{attempts} failed: {e!r}")
+        if attempt + 1 >= attempts:
+            raise
+        time.sleep(120)
+        argv = [sys.executable, os.path.abspath(__file__)]
+        argv += [f"{k}={v}" for k, v in kwargs.items()]
+        argv += [f"_retry={attempt + 1}"]
+        os.execv(sys.executable, argv)
