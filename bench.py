@@ -42,7 +42,9 @@ def _baseline():
     return 1.0
 
 
-def main(ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True):
+def main(
+    ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True, block=500
+):
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +106,6 @@ def main(ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=T
     state_s, out_s = run_block(state, 1)
     sync(out_s.lnlike)
     _log("smoke ok; compiling main block...")
-    block = 1000
     state, out = run_block(state, block)
     sync(out.lnlike)
     _log("main block compiled; burn-in...")
