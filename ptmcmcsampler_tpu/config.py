@@ -29,9 +29,10 @@ KIND_DE = "de"
 KIND_MALA = "mala"
 KIND_HMC = "hmc"
 KIND_NUTS = "nuts"
+KIND_CHEES = "chees"
 KIND_CUSTOM = "custom"
 
-GRADIENT_KINDS = (KIND_MALA, KIND_HMC, KIND_NUTS)
+GRADIENT_KINDS = (KIND_MALA, KIND_HMC, KIND_NUTS, KIND_CHEES)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +96,10 @@ class SamplerConfig:
     nuts_force_epsilon: Optional[float] = None
     nuts_force_trajlen: Optional[int] = None
     nuts_trajectory: bool = False  # capture (T0, C0) trajectories (nutsjump.py:818-835)
+    # ChEES-HMC statics (beyond-reference vmap-friendly gradient mode).
+    chees_max_steps: int = 256
+    chees_delta: float = 0.651
+    chees_lr: float = 0.025
     mass_adapt: bool = False  # reference keeps the initial mass matrix (nutsjump.py:210-215)
 
     def __post_init__(self):
@@ -147,6 +152,7 @@ def build_default_jumps(
     NUTSweight=0,
     MALAweight=0,
     HMCweight=0,
+    CHEESweight=0,
     burn=10000,
     have_grads=False,
 ):
@@ -164,6 +170,8 @@ def build_default_jumps(
             jumps.append(JumpSpec("HMCJump", KIND_HMC, HMCweight))
         if NUTSweight:
             jumps.append(JumpSpec("NUTSJUMP", KIND_NUTS, NUTSweight))
+        if CHEESweight:
+            jumps.append(JumpSpec("ChEESHMCJump", KIND_CHEES, CHEESweight))
     if SCAMweight:
         jumps.append(JumpSpec("covarianceJumpProposalSCAM", KIND_SCAM, SCAMweight))
     if AMweight:

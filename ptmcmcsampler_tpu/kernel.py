@@ -39,20 +39,19 @@ class BlockOutput(NamedTuple):
     traj: object = None  # TrajCapture rows when config.nuts_trajectory
 
 
+_SS_FIELDS = (
+    "epsilon", "epsilonbar", "hbar", "mu", "ncalls",
+    "chees_eps", "chees_epsbar", "chees_hbar", "chees_mu",
+    "chees_count", "chees_m", "chees_v", "chees_tlen",
+)
+
+
 def _ss_to_dict(ss):
-    return dict(
-        epsilon=ss.epsilon, epsilonbar=ss.epsilonbar, hbar=ss.hbar, mu=ss.mu, ncalls=ss.ncalls
-    )
+    return {f: getattr(ss, f) for f in _SS_FIELDS}
 
 
 def _ss_from_dict(ss, d):
-    return ss.replace(
-        epsilon=d["epsilon"],
-        epsilonbar=d["epsilonbar"],
-        hbar=d["hbar"],
-        mu=d["mu"],
-        ncalls=d["ncalls"],
-    )
+    return ss.replace(**{f: d[f] for f in _SS_FIELDS})
 
 
 def make_context(state: SamplerState) -> ProposalContext:

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import (
     KIND_AM,
+    KIND_CHEES,
     KIND_CUSTOM,
     KIND_DE,
     KIND_HMC,
@@ -34,7 +35,7 @@ from ..config import (
     KIND_SCAM,
     SamplerConfig,
 )
-from . import am, de, gradient, nuts
+from . import am, chees, de, gradient, nuts
 from .base import ProposalContext
 
 
@@ -109,7 +110,15 @@ def build_jump_branches(config: SamplerConfig, func_grad=None):
     """
     branches = []
     for spec in config.jumps:
-        if spec.kind == KIND_NUTS:
+        if spec.kind == KIND_CHEES:
+            # Batch-level kernel: needs cross-chain reductions for the ChEES
+            # criterion, so it is not vmapped per chain.
+            kernel = chees.make_chees(config, func_grad)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                return _kernel(keys, x, betas, it, ctx, ss)
+
+        elif spec.kind == KIND_NUTS:
             kernel = nuts.make_nuts(config, func_grad)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):

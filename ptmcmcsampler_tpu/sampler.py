@@ -280,6 +280,7 @@ class PTSampler:
                 NUTSweight=weights["NUTS"] if have_grads else 0,
                 MALAweight=weights["MALA"] if have_grads else 0,
                 HMCweight=weights["HMC"] if have_grads else 0,
+                CHEESweight=weights.get("CHEES", 0) if have_grads else 0,
                 burn=burn,
                 have_grads=have_grads,
             )
@@ -336,6 +337,7 @@ class PTSampler:
         NUTSweight=20,
         MALAweight=20,
         HMCweight=20,
+        CHEESweight=0,
         burn=10000,
         HMCstepsize=0.1,
         HMCsteps=300,
@@ -372,7 +374,7 @@ class PTSampler:
 
         weights = dict(
             SCAM=SCAMweight, AM=AMweight, DE=DEweight, NUTS=NUTSweight,
-            MALA=MALAweight, HMC=HMCweight,
+            MALA=MALAweight, HMC=HMCweight, CHEES=CHEESweight,
         )
         config = self._build_config(
             weights, burn, Tskip, covUpdate,

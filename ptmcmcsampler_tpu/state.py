@@ -52,6 +52,16 @@ class StepSizeState:
     hbar: jax.Array  # [T, C]
     mu: jax.Array  # [T, C] log(10*eps0)
     ncalls: jax.Array  # [T, C] gradient-jump call counter (GradientJump.iter)
+    # ChEES-HMC per-temperature state, replicated along C for a uniform
+    # [T, C] pytree layout (proposals/chees.py).
+    chees_eps: jax.Array  # [T, C]
+    chees_epsbar: jax.Array  # [T, C] f32
+    chees_hbar: jax.Array  # [T, C] f32
+    chees_mu: jax.Array  # [T, C] f32; 0 = "uninitialized"
+    chees_count: jax.Array  # [T, C] f32
+    chees_m: jax.Array  # [T, C] f32 Adam first moment (log tlen)
+    chees_v: jax.Array  # [T, C] f32 Adam second moment
+    chees_tlen: jax.Array  # [T, C] trajectory length (time units)
 
 
 @chex.dataclass
@@ -148,6 +158,14 @@ def init_state(
             hbar=jnp.zeros((t, c), dt),
             mu=jnp.zeros((t, c), dt),
             ncalls=jnp.zeros((t, c), dt),
+            chees_eps=jnp.zeros((t, c), dt),
+            chees_epsbar=jnp.zeros((t, c), jnp.float32),
+            chees_hbar=jnp.zeros((t, c), jnp.float32),
+            chees_mu=jnp.zeros((t, c), jnp.float32),
+            chees_count=jnp.zeros((t, c), jnp.float32),
+            chees_m=jnp.zeros((t, c), jnp.float32),
+            chees_v=jnp.zeros((t, c), jnp.float32),
+            chees_tlen=jnp.full((t, c), float(config.hmc_stepsize), dt),
         ),
         counters=Counters(
             naccepted=jnp.zeros((t, c), jnp.int32),
