@@ -178,9 +178,15 @@ if __name__ == "__main__":
     # retry by re-exec'ing a fresh interpreter, not by looping in-process.
     attempt = int(kwargs.pop("_retry", 0))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    def _transient(e):
+        msg = f"{type(e).__name__}: {e}"
+        return any(s in msg for s in ("UNAVAILABLE", "DEADLINE", "INTERNAL", "JaxRuntimeError"))
+
     try:
         main(**kwargs)
     except Exception as e:  # noqa: BLE001
+        if not _transient(e):
+            raise  # deterministic failure (bad kwarg, OOM, bug): fail fast
         _log(f"attempt {attempt + 1}/{attempts} failed: {e!r}")
         if attempt + 1 >= attempts:
             raise

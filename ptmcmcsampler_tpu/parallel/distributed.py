@@ -31,13 +31,18 @@ def initialize_distributed(
     global _initialized
     if _initialized:
         return
-    if num_processes in (None, 1) and coordinator_address is None:
+    if coordinator_address is None and num_processes is None:
+        # Auto-detect path: on TPU pods / managed clusters initialize() finds
+        # its arguments in the environment. Probing jax.process_count() first
+        # would *initialize the local-only backend* and always report 1, so we
+        # must attempt distributed init directly and treat "nothing to join"
+        # as the single-process no-op.
         try:
-            if jax.process_count() <= 1:
-                _initialized = True
-                return
-        except RuntimeError:
-            pass
+            jax.distributed.initialize(**kwargs)
+        except (RuntimeError, ValueError):
+            pass  # single-process (the MPIDummy analogue) or already joined
+        _initialized = True
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -67,23 +72,34 @@ def make_pt_mesh(ntemp_devices=None, nchain_devices=1, devices=None,
         f"mesh {ntemp_devices}x{nchain_devices} needs more than {n} devices"
     )
     shape = (ntemp_devices, nchain_devices)
-    try:
-        if jax.process_count() > 1:
-            # chain (DP-like) across hosts, temp within a host's ICI domain.
-            dmesh = mesh_utils.create_hybrid_device_mesh(
-                mesh_shape=(ntemp_devices, nchain_devices // max(jax.process_count(), 1) or 1),
-                dcn_mesh_shape=(1, jax.process_count()),
-                devices=devices,
+    nproc = jax.process_count()
+    if nproc > 1:
+        # chain (DP-like) across hosts, temp within a host's ICI domain. The
+        # temp axis must NOT span DCN: replica exchange runs every tskip
+        # iterations and is the latency-critical collective.
+        if nchain_devices % nproc != 0:
+            raise ValueError(
+                f"nchain_devices={nchain_devices} must be a multiple of the "
+                f"process count {nproc} so the chain axis tiles across hosts"
             )
-        else:
-            dmesh = mesh_utils.create_device_mesh(shape, devices=devices[: ntemp_devices * nchain_devices])
-    except Exception:
-        dmesh = np.asarray(devices[: ntemp_devices * nchain_devices]).reshape(shape)
+        dmesh = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ntemp_devices, nchain_devices // nproc),
+            dcn_mesh_shape=(1, nproc),
+            devices=devices,
+        )
+    else:
+        try:
+            dmesh = mesh_utils.create_device_mesh(
+                shape, devices=devices[: ntemp_devices * nchain_devices]
+            )
+        except (ValueError, AssertionError):
+            # Non-torus device sets (e.g. virtual CPU devices) have no
+            # physical layout to optimize; a plain reshape is equivalent.
+            dmesh = np.asarray(devices[: ntemp_devices * nchain_devices]).reshape(shape)
     return Mesh(dmesh, (temp_axis, chain_axis))
 
 
-def process_local_block(sampler_state, mesh, temp_axis="temp"):
-    """Addressable (this-host) slice of a sharded state's positions — the
+def process_local_block(sampler_state):
+    """Addressable (this-host) shards of the sharded positions — the
     analogue of an MPI rank's local chain for host-side I/O."""
-    x = sampler_state.x
-    return [s.data for s in x.addressable_shards]
+    return [s.data for s in sampler_state.x.addressable_shards]

@@ -44,10 +44,8 @@ import jax.numpy as jnp
 
 from .gradient import leapfrog, make_whitened_funcs
 
-# Dual-averaging constants (match the NUTS jump / nutsjump.py:414-420).
-GAMMA = 0.05
-T0 = 10.0
-KAPPA = 0.75
+# Dual-averaging constants shared with the NUTS jump (nutsjump.py:414-420).
+from .nuts import GAMMA, KAPPA, T0  # noqa: E402
 # Adam constants for the trajectory-length ascent (ChEES paper defaults).
 B1 = 0.9
 B2 = 0.999
@@ -190,13 +188,19 @@ def make_chees(config, func_grad):
         def rep(v):  # [T] -> [T, C]
             return jnp.broadcast_to(v[:, None], (t, c))
 
-        new_ss["chees_eps"] = rep(new_eps)
-        new_ss["chees_epsbar"] = rep(epsbar.astype(jnp.float32))
-        new_ss["chees_hbar"] = rep(hbar)
+        def freeze(new, old):
+            """Adaptation state only moves during burn-in; after burn the
+            kernel is a fixed Markov kernel (mirrors nuts.py's in_burn gating)
+            so detailed balance holds exactly."""
+            return jnp.where(in_burn, new, old)
+
+        new_ss["chees_eps"] = rep(freeze(new_eps, jnp.where(had_calls, epsbar_prev, eps0).astype(dt)))
+        new_ss["chees_epsbar"] = rep(freeze(epsbar, epsbar_prev).astype(jnp.float32))
+        new_ss["chees_hbar"] = rep(freeze(hbar, ss["chees_hbar"][:, 0]))
         new_ss["chees_mu"] = rep(mu)
-        new_ss["chees_count"] = rep(ncalls)
-        new_ss["chees_m"] = rep(m_t)
-        new_ss["chees_v"] = rep(v_t)
+        new_ss["chees_count"] = rep(freeze(ncalls, ss["chees_count"][:, 0]))
+        new_ss["chees_m"] = rep(freeze(m_t, ss["chees_m"][:, 0]))
+        new_ss["chees_v"] = rep(freeze(v_t, ss["chees_v"][:, 0]))
         new_ss["chees_tlen"] = rep(new_tlen)
 
         bwd = jax.vmap(jax.vmap(lambda zz: backward(ctx, zz)))

@@ -563,7 +563,9 @@ class PTSampler:
             template = init_state(config, init_key, x0, self.cov0, betas, ll0, lp0)
             try:
                 state, meta = load_checkpoint(ckpt_path, template)
-            except ValueError:
+            except (ValueError, KeyError):
+                # Structure mismatch (e.g. a checkpoint from an older state
+                # layout): fall through to chain-file resume.
                 state, meta = None, None
             if state is not None:
                 it = int(meta["iter"]) if meta else int(jax.device_get(state.it))

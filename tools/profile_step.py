@@ -100,8 +100,10 @@ def run():
                 return float(jax.device_get(jnp.sum(arr)))
 
             log(f"{name} nchains={nc}: compiling...")
+            # Warm up with the SAME static nrows as the timed calls — a
+            # different scan length would recompile inside the timed window.
             t0 = time.time()
-            state, out = run_block(state, 100)
+            state, out = run_block(state, iters // 2)
             sync(out.lnlike)
             compile_s = time.time() - t0
             t0 = time.time()
