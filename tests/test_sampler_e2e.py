@@ -215,3 +215,42 @@ class TestNeffTermination:
                        SCAMweight=20, AMweight=20, DEweight=20, neff=50)
         # should stop well before 100k iterations
         assert int(sampler.state.it) < 100000
+
+
+def test_resume_falls_back_on_stale_checkpoint(tmp_path):
+    """A checkpoint from an older state layout (fewer leaves) must not crash
+    resume; the sampler falls back to chain-file resume."""
+    import jax.numpy as jnp
+
+    outdir = str(tmp_path / "chains")
+
+    def build():
+        return PTSampler(
+            2,
+            lambda x: -0.5 * jnp.sum(x**2),
+            lambda x: jnp.where(jnp.all(jnp.abs(x) < 10.0), 0.0, -jnp.inf),
+            np.eye(2) * 0.1,
+            outDir=outdir,
+            verbose=False,
+            ntemps=2,
+            nchains=4,
+            seed=3,
+            resume=True,
+        )
+
+    s = build()
+    s.sample(np.zeros(2), 100, burn=20, thin=1, isave=50, SCAMweight=1, AMweight=1,
+             DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
+    # Corrupt the checkpoint into an "old layout" with missing leaves.
+    ckpt = os.path.join(outdir, "checkpoint.npz")
+    data = dict(np.load(ckpt, allow_pickle=False))
+    keys = [k for k in data if k.startswith("leaf_")]
+    for k in sorted(keys)[-4:]:
+        del data[k]
+    np.savez(ckpt, **data)
+
+    s2 = build()
+    s2.sample(np.zeros(2), 200, burn=20, thin=1, isave=50, SCAMweight=1, AMweight=1,
+              DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
+    rows = np.loadtxt(os.path.join(outdir, "chain_1.0.txt"), ndmin=2)
+    assert rows.shape[0] >= 150

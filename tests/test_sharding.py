@@ -128,3 +128,13 @@ def test_initialize_distributed_serial_noop():
     # Single-process: must be a no-op (the MPIDummy analogue), twice.
     initialize_distributed()
     initialize_distributed()
+
+
+def test_pt_mesh_rejects_bad_chain_split(monkeypatch):
+    from ptmcmcsampler_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of the"):
+        dist.make_pt_mesh(ntemp_devices=2, nchain_devices=4)
