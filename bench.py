@@ -45,6 +45,7 @@ def _baseline():
 def main(
     ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True,
     block=500, workload="curved", grad_mode="nuts", nuts_max_depth=8,
+    rng_impl="threefry2x32",
 ):
     import jax
 
@@ -111,7 +112,9 @@ def main(
     xs = jnp.broadcast_to(jnp.asarray(x0, cfg.dtype), (ntemps, nchains, ndim))
     ll0 = jax.vmap(jax.vmap(model.lnlikefn))(xs)
     lp0 = jax.vmap(jax.vmap(model.lnpriorfn))(xs)
-    state = init_state(cfg, jax.random.PRNGKey(7), x0, np.eye(ndim), betas, ll0, lp0)
+    state = init_state(
+        cfg, jax.random.key(7, impl=rng_impl), x0, np.eye(ndim), betas, ll0, lp0
+    )
 
     # Warmup: compile + burn-in/adaptation. A tiny block first cheaply
     # detects a wedged TPU tunnel before the big compile.

@@ -17,9 +17,23 @@ import jax
 import numpy as np
 
 
+def _is_typed_key(leaf):
+    try:
+        import jax.numpy as jnp
+
+        return jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key)
+    except TypeError:
+        return False
+
+
 def save_checkpoint(path, state, meta=None):
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(jax.device_get(leaf)) for i, leaf in enumerate(leaves)}
+    arrays = {}
+    for i, leaf in enumerate(leaves):
+        if _is_typed_key(leaf):
+            # Typed PRNG keys serialize as their raw uint32 data.
+            leaf = jax.random.key_data(leaf)
+        arrays[f"leaf_{i}"] = np.asarray(jax.device_get(leaf))
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
@@ -38,6 +52,16 @@ def load_checkpoint(path, template_state):
     with np.load(path) as data:
         loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
     for i, (tpl, new) in enumerate(zip(leaves, loaded)):
+        if _is_typed_key(tpl):
+            # Restore the typed key with the template's PRNG impl.
+            impl = jax.random.key_impl(tpl)
+            if jax.random.key_data(tpl).shape != new.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} (PRNG key) shape {new.shape} does "
+                    f"not match current impl {impl}"
+                )
+            loaded[i] = jax.random.wrap_key_data(new, impl=impl)
+            continue
         if np.shape(tpl) != new.shape:
             raise ValueError(
                 f"checkpoint leaf {i} shape {new.shape} does not match "

@@ -121,7 +121,7 @@ def build_step(
         k_kind, k_jump, k_aux = jax.random.split(key, 3)
         probs = jump_probabilities(config, it).astype(jnp.float32)
         logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
-        keys = jax.random.split(k_jump, t * c).reshape(t, c, -1)
+        keys = utils.split_grid(k_jump, (t, c))
 
         cap = None
         if config.jump_select == "shared":
@@ -152,7 +152,7 @@ def build_step(
             new_ss = ss
 
         if aux_chain is not None:
-            aux_keys = jax.random.split(k_aux, t * c * n_aux).reshape(t, c, n_aux, -1)
+            aux_keys = utils.split_grid(k_aux, (t, c, n_aux))
             q, qxy = aux_chain(aux_keys, state.x, q, qxy, state.betas, it)
 
         return q, qxy, jidx_full, _ss_from_dict(state.stepsize, new_ss), cap

@@ -141,6 +141,7 @@ class PTSampler:
         adapt_from="cold",
         mesh=None,
         temp_axis="temp",
+        rng_impl="threefry2x32",
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
         self.ndim = int(ndim)
@@ -182,7 +183,10 @@ class PTSampler:
 
         if seed is None:
             seed = int(np.random.SeedSequence().generate_state(1)[0])
-        self._key = jax.random.PRNGKey(seed)
+        # Typed key with a selectable PRNG: "threefry2x32" (JAX default,
+        # fully reproducible) or "rbg"/"unsafe_rbg" (hardware-accelerated on
+        # TPU — much cheaper per draw in the hot loop).
+        self._key = jax.random.key(seed, impl=rng_impl)
 
         self._custom_jumps = []
         self._aux_jumps = []

@@ -144,7 +144,7 @@ def init_state(
         traj = empty_capture(config)
     return SamplerState(
         traj=traj,
-        key=utils.as_2d_key(key),
+        key=utils.ensure_typed_key(key),
         it=jnp.zeros((), jnp.int32),
         x=jnp.asarray(np.broadcast_to(x0, (t, c, d)), dtype=dt),
         lnlike=jnp.asarray(lnlike0, dtype=dt).reshape(t, c),
