@@ -42,12 +42,43 @@ def _baseline():
     return 1.0
 
 
+def tpu_alive(timeout_s=90):
+    """Probe the TPU in a subprocess (a wedged tunnel HANGS rather than
+    erroring, so the probe must be killable)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "v = float(jax.device_get(jnp.sum(jnp.ones((64,64)) @ jnp.ones((64,64)))));"
+        "print('ok', v)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main(
     ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True,
     block=500, workload="curved", grad_mode="nuts", nuts_max_depth=8,
-    rng_impl="threefry2x32",
+    rng_impl="threefry2x32", force_cpu=0,
 ):
     import jax
+
+    if force_cpu:
+        # The TPU tunnel is down (see __main__ probe): fall back to the CPU
+        # backend so the round still records a measurement, flagged as such.
+        # Shrink the workload — CPU per-iteration cost is ~100x the TPU's.
+        jax.config.update("jax_platforms", "cpu")
+        nchains = min(nchains, 256)
+        burn_iters = min(burn_iters, 600)
+        timed_iters = min(timed_iters, 1200)
+        block = min(block, 200)
+        _log("TPU unavailable -> CPU fallback (flagged in output, shrunk shapes)")
 
     # Persist compiled executables: the flaky TPU tunnel means bench may be
     # retried several times, and a cached compile shrinks the healthy window
@@ -165,6 +196,7 @@ def main(
         "timed_iters": timed_iters,
         "elapsed_sec": round(elapsed, 2),
         "ess_min_dim": round(ess_min, 1),
+        "backend": jax.devices()[0].platform,
     }
     print(json.dumps(result))
     return result
@@ -181,6 +213,18 @@ if __name__ == "__main__":
     # retry by re-exec'ing a fresh interpreter, not by looping in-process.
     attempt = int(kwargs.pop("_retry", 0))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    if not kwargs.get("force_cpu") and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        _log("probing TPU health...")
+        if not tpu_alive():
+            if attempt + 1 < attempts:
+                _log("TPU probe failed; waiting 120s before retry "
+                     f"({attempt + 1}/{attempts})")
+                time.sleep(120)
+                os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
+                         + [f"{k}={v}" for k, v in kwargs.items()]
+                         + [f"_retry={attempt + 1}"])
+            _log("TPU still down after retries; measuring on CPU fallback")
+            kwargs["force_cpu"] = 1
     def _transient(e):
         msg = f"{type(e).__name__}: {e}"
         return any(s in msg for s in ("UNAVAILABLE", "DEADLINE", "INTERNAL", "JaxRuntimeError"))
