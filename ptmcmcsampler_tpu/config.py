@@ -82,6 +82,7 @@ class SamplerConfig:
     de_size: int = 10000  # DE history ring-buffer rows (reference: burn, :221)
 
     # Behavior switches (TPU-native extensions).
+    use_pallas: bool = False  # fused Pallas trajectory kernels (ops/) for gradient jumps
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"

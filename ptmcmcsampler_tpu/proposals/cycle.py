@@ -118,6 +118,18 @@ def build_jump_branches(config: SamplerConfig, func_grad=None):
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
                 return _kernel(keys, x, betas, it, ctx, ss)
 
+        elif spec.kind == KIND_HMC and config.use_pallas and func_grad is not None:
+            # Fused Pallas trajectory kernel: whole-batch leapfrog loop in
+            # VMEM, chains on the lane axis (ops/hmc_pallas.py). Same
+            # randomness and semantics as the vmapped XLA path below.
+            from ..ops import make_hmc_pallas
+
+            kernel = make_hmc_pallas(config, func_grad)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                q, qxy = _kernel(keys, x, betas, ctx)
+                return q, qxy, ss
+
         elif spec.kind == KIND_NUTS:
             kernel = nuts.make_nuts(config, func_grad)
 
