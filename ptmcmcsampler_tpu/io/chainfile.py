@@ -16,6 +16,7 @@ extension library has been built; the numpy path is the fallback.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -92,6 +93,55 @@ class ChainWriter:
         )
         with open(self.fnames[i], "a") as f:
             f.write(text)
+
+    # ---- all-chain binary output (TPU extension) ----------------------
+    #
+    # The text chain files carry one chain per temperature for byte parity
+    # with the reference (one MPI rank = one chain, PTMCMCSampler.py:96-97);
+    # the vmapped ``nchains`` axis — the main TPU throughput axis — is
+    # harvested into an appendable raw-float32 sidecar per temperature,
+    # ``chain_all_<temp>.bin`` + ``.json`` metadata.
+
+    def _all_paths(self, i):
+        base = os.path.splitext(os.path.basename(self.fnames[i]))[0]
+        stem = os.path.join(self.outdir, base.replace("chain_", "chain_all_"))
+        return stem + ".bin", stem + ".json"
+
+    def reset_all(self, i, nchains, ndim):
+        if not self._writes_temp(i):
+            return
+        binf, metaf = self._all_paths(i)
+        open(binf, "wb").close()
+        with open(metaf, "w") as f:
+            json.dump({"nchains": int(nchains), "ndim": int(ndim), "dtype": "float32"}, f)
+
+    def append_all(self, i, block):
+        """Append thinned rows for every chain: block [rows, nchains, ndim]."""
+        if not self._writes_temp(i):
+            return
+        binf, metaf = self._all_paths(i)
+        if not os.path.isfile(metaf):  # e.g. resuming a pre-existing run dir
+            with open(metaf, "w") as f:
+                json.dump(
+                    {"nchains": int(block.shape[1]), "ndim": int(block.shape[2]),
+                     "dtype": "float32"}, f,
+                )
+        with open(binf, "ab") as f:
+            f.write(np.ascontiguousarray(block, dtype=np.float32).tobytes())
+
+    def load_all(self, i):
+        """All-chain thinned history [rows, nchains, ndim] (or None)."""
+        binf, metaf = self._all_paths(i)
+        if not (os.path.isfile(binf) and os.path.isfile(metaf)):
+            return None
+        with open(metaf) as f:
+            meta = json.load(f)
+        c, d = meta["nchains"], meta["ndim"]
+        raw = np.fromfile(binf, dtype=meta.get("dtype", "float32"))
+        rows = raw.size // (c * d)
+        if rows == 0:
+            return None
+        return raw[: rows * c * d].reshape(rows, c, d)
 
     def write_cov(self, cov):
         np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))

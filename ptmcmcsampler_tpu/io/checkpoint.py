@@ -6,6 +6,11 @@ SURVEY.md §5 / PTMCMCSampler.py:290-319. Here the complete
 :class:`SamplerState` pytree round-trips through one ``.npz`` plus a small
 JSON sidecar, so a resumed run continues *exactly* (same RNG stream, same
 adaptation trajectory).
+
+Leaves are keyed by their **pytree path** (``"adapt/cov"``, ``"x"``, ...),
+not by flatten order, so any evolution of the state layout — reordered,
+added, or removed fields — fails loudly with a named mismatch instead of
+silently loading a shifted same-shape array into the wrong slot.
 """
 
 from __future__ import annotations
@@ -15,6 +20,9 @@ import os
 
 import jax
 import numpy as np
+
+_FORMAT_KEY = "__format__"
+_FORMAT = "ptmcmc-ckpt-v2-pathkeys"
 
 
 def _is_typed_key(leaf):
@@ -26,14 +34,30 @@ def _is_typed_key(leaf):
         return False
 
 
+def _path_name(path):
+    """Render a jax key path as a stable 'a/b/0' string."""
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):  # GetAttrKey / DictKey(name=...)
+            parts.append(str(p.name))
+        elif hasattr(p, "key"):  # DictKey
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):  # SequenceKey
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts) if parts else "<root>"
+
+
 def save_checkpoint(path, state, meta=None):
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {}
-    for i, leaf in enumerate(leaves):
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {_FORMAT_KEY: np.asarray(_FORMAT)}
+    for leaf_path, leaf in flat:
+        name = _path_name(leaf_path)
         if _is_typed_key(leaf):
             # Typed PRNG keys serialize as their raw uint32 data.
             leaf = jax.random.key_data(leaf)
-        arrays[f"leaf_{i}"] = np.asarray(jax.device_get(leaf))
+        arrays[name] = np.asarray(jax.device_get(leaf))
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
@@ -46,27 +70,40 @@ def load_checkpoint(path, template_state):
     """Restore a state pytree saved by :func:`save_checkpoint`.
 
     ``template_state`` provides the tree structure (build it with the same
-    config used originally).
+    config used originally). Every template leaf must find a same-named,
+    same-shaped array in the file; anything else raises ``ValueError`` so
+    callers can fall back to the chain-file resume path.
     """
-    leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template_state)
     with np.load(path) as data:
-        loaded = [data[f"leaf_{i}"] for i in range(len(leaves))]
-    for i, (tpl, new) in enumerate(zip(leaves, loaded)):
+        if _FORMAT_KEY not in data or str(data[_FORMAT_KEY]) != _FORMAT:
+            raise ValueError(
+                "checkpoint uses an unrecognized (or legacy index-keyed) "
+                "layout; refusing to guess leaf assignment"
+            )
+        stored = {k: data[k] for k in data.files if k != _FORMAT_KEY}
+    loaded = []
+    for leaf_path, tpl in flat:
+        name = _path_name(leaf_path)
+        if name not in stored:
+            raise ValueError(f"checkpoint is missing state leaf {name!r}")
+        new = stored[name]
         if _is_typed_key(tpl):
             # Restore the typed key with the template's PRNG impl.
             impl = jax.random.key_impl(tpl)
             if jax.random.key_data(tpl).shape != new.shape:
                 raise ValueError(
-                    f"checkpoint leaf {i} (PRNG key) shape {new.shape} does "
-                    f"not match current impl {impl}"
+                    f"checkpoint leaf {name!r} (PRNG key) shape {new.shape} "
+                    f"does not match current impl {impl}"
                 )
-            loaded[i] = jax.random.wrap_key_data(new, impl=impl)
+            loaded.append(jax.random.wrap_key_data(new, impl=impl))
             continue
         if np.shape(tpl) != new.shape:
             raise ValueError(
-                f"checkpoint leaf {i} shape {new.shape} does not match "
+                f"checkpoint leaf {name!r} shape {new.shape} does not match "
                 f"current config {np.shape(tpl)}"
             )
+        loaded.append(new)
     meta = None
     if os.path.isfile(path + ".json"):
         with open(path + ".json") as f:

@@ -36,6 +36,11 @@ class BlockOutput(NamedTuple):
     lnlike: jax.Array  # [rows, T, C]
     lnprob: jax.Array  # [rows, T, C]
     it: jax.Array  # [rows] iteration number of each emitted row
+    # Counter snapshots at each row, so chain files can carry per-row
+    # cumulative acceptance columns (reference PTMCMCSampler.py:731-745).
+    naccepted: jax.Array = None  # [rows, T, C]
+    swaps_accepted: jax.Array = None  # [rows, T, C]
+    swaps_proposed: jax.Array = None  # [rows, T]
     traj: object = None  # TrajCapture rows when config.nuts_trajectory
 
 
@@ -200,13 +205,17 @@ def build_step(
 
         def do_swap(st):
             if config.swap_mode == "sweep":
-                swap_map, accepted = swaps.sweep_swap_map(key, st.lnlike, st.betas)
+                swap_map, accepted, proposed = swaps.sweep_swap_map(
+                    key, st.lnlike, st.betas
+                )
             else:
                 parity = (it // config.tskip) % 2
-                swap_map, accepted = swaps.deo_swap_map(key, st.lnlike, st.betas, parity)
+                swap_map, accepted, proposed = swaps.deo_swap_map(
+                    key, st.lnlike, st.betas, parity
+                )
             x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
             ctr = st.counters.replace(
-                swaps_proposed=st.counters.swaps_proposed + 1,
+                swaps_proposed=st.counters.swaps_proposed + proposed.astype(jnp.int32),
                 swaps_accepted=st.counters.swaps_accepted + accepted.astype(jnp.int32),
             )
             return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr)
@@ -254,6 +263,9 @@ def build_step(
             lnlike=state.lnlike,
             lnprob=utils.tempered_lnprob(state.lnlike, state.lnprior, state.betas[:, None]),
             it=state.it,
+            naccepted=state.counters.naccepted,
+            swaps_accepted=state.counters.swaps_accepted,
+            swaps_proposed=state.counters.swaps_proposed,
             traj=state.traj,
         )
         return state, out

@@ -192,7 +192,8 @@ class PTSampler:
         self._aux_jumps = []
         self.state = None
         self.ladder = None
-        self._chain_host = []  # cold-chain thinned history (for neff/user)
+        self._chain_host = []  # cold chain 0 thinned history ([rows, D] blocks)
+        self._chains_host = []  # ALL cold chains ([rows, C, D] blocks)
         self._lnlike_host = []
         self._lnprob_host = []
 
@@ -437,18 +438,22 @@ class PTSampler:
             start_iter = 0
             # Record + write the initial sample (reference :489-491).
             lnprob0 = utils.host_array(state.lnprob)
-            self._chain_host = [utils.host_array(state.x[0, 0])[None]]
+            x_host = utils.host_array(state.x)  # [T, C, D]
+            self._chain_host = [x_host[0, 0][None]]
+            self._chains_host = [x_host[0][None]]  # [1, C, D]
             self._lnlike_host = [utils.host_array(state.lnlike[0, 0])[None]]
             self._lnprob_host = [lnprob0[0, 0][None]]
             for ti in range(self.ntemps):
+                writer.reset_all(ti, self.nchains, self.ndim)
                 writer.append(
                     ti,
-                    utils.host_array(state.x[ti, 0])[None],
+                    x_host[ti, 0][None],
                     np.array([lnprob0[ti, 0]]),
                     np.array([utils.host_array(state.lnlike[ti, 0])]),
                     np.array([0.0]),
                     np.array([1.0]),
                 )
+                writer.append_all(ti, x_host[ti][None])
 
         self.state = state
         self.Niter = Niter
@@ -476,10 +481,23 @@ class PTSampler:
                 message = "\nRun Complete"
                 run_complete = True
             elif neff is not None and it > 2 * burn:
-                chain = np.concatenate(self._chain_host, axis=0)
                 burn_rows = burn // thin
-                tau = diagnostics.max_autocorr_time(chain[burn_rows:])
-                n_eff = it / max(1.0, tau)
+                if self.nchains > 1 and self._chains_host:
+                    # Pool every vmapped chain with the cross-chain (Stan-style)
+                    # ESS — the whole point of the nchains axis: neff grows
+                    # ~linearly with chains, unlike the reference's
+                    # single-chain iter/tau (PTMCMCSampler.py:510-521).
+                    arr = np.concatenate(self._chains_host, axis=0)  # [rows, C, D]
+                    post = arr[burn_rows:]
+                    if post.shape[0] >= 8:
+                        chains = np.moveaxis(post, 0, 1)  # [C, rows, D]
+                        n_eff = float(np.min(diagnostics.multichain_ess(chains)))
+                    else:
+                        n_eff = 0.0
+                else:
+                    chain = np.concatenate(self._chain_host, axis=0)
+                    tau = diagnostics.max_autocorr_time(chain[burn_rows:])
+                    n_eff = it / max(1.0, tau)
                 if int(n_eff) >= neff:
                     message = "\nRun Complete with {0} effective samples".format(int(n_eff))
                     run_complete = True
@@ -503,16 +521,21 @@ class PTSampler:
         x = utils.host_array(out.x)  # [rows, T, C, D]
         lnlike = utils.host_array(out.lnlike)
         lnprob = utils.host_array(out.lnprob)
+        its = utils.host_array(out.it).astype(np.int64)  # [rows]
+        nacc = utils.host_array(out.naccepted)  # [rows, T, C]
+        sacc = utils.host_array(out.swaps_accepted)  # [rows, T, C]
+        sprop = utils.host_array(out.swaps_proposed)  # [rows, T]
         ctr = jax.device_get(state.counters)
+        rows = x.shape[0]
 
         self._chain_host.append(x[:, 0, 0, :])
+        self._chains_host.append(x[:, 0, :, :])
         self._lnlike_host.append(lnlike[:, 0, 0])
         self._lnprob_host.append(lnprob[:, 0, 0])
 
         if getattr(self, "_traj_writer", None) is not None and out.traj is not None:
             tr = jax.device_get(out.traj)
-            its = np.asarray(jax.device_get(out.it))
-            for r in range(x.shape[0]):
+            for r in range(rows):
                 self._traj_writer.write(
                     int(its[r]),
                     dict(
@@ -523,22 +546,28 @@ class PTSampler:
                     ),
                 )
 
-        nswap_prop = max(int(ctr.swaps_proposed), 1)
+        denom = np.maximum(its, 1).astype(np.float64)
         for ti in range(self.ntemps):
-            acc_rate = float(ctr.naccepted[ti, 0]) / max(it, 1)
-            if ti < self.ntemps - 1 and int(ctr.swaps_proposed) > 0:
-                pt_acc = float(ctr.swaps_accepted[ti, 0]) / nswap_prop
+            # Per-row cumulative rates, as the reference writes them
+            # (PTMCMCSampler.py:731-745), from the per-row counter snapshots.
+            acc_rate = nacc[:, ti, 0] / denom
+            if ti < self.ntemps - 1:
+                pt_acc = np.where(
+                    sprop[:, ti] > 0,
+                    sacc[:, ti, 0] / np.maximum(sprop[:, ti], 1),
+                    1.0,
+                )
             else:
-                pt_acc = 1.0  # reference :737-739
-            rows = x.shape[0]
+                pt_acc = np.ones(rows)  # reference :737-739
             writer.append(
                 ti,
                 x[:, ti, 0, :],
                 lnprob[:, ti, 0],
                 lnlike[:, ti, 0],
-                np.full(rows, acc_rate),
-                np.full(rows, pt_acc),
+                acc_rate,
+                pt_acc,
             )
+            writer.append_all(ti, x[:, ti, :, :])
 
         writer.write_cov(jax.device_get(state.adapt.cov))
         w, _ = config.weights_and_activation()
@@ -620,15 +649,35 @@ class PTSampler:
         self._chain_host = [data[:, : self.ndim]]
         self._lnprob_host = [data[:, -4]]
         self._lnlike_host = [data[:, -3]]
+        all_rows = self._writer.load_all(0)
+        if all_rows is not None and all_rows.shape[1] == self.nchains:
+            self._chains_host = [all_rows]
+        else:
+            self._chains_host = []
 
     # ------------------------------------------------------------ accessors
 
     @property
     def chain(self):
-        """Thinned cold-chain history [rows, ndim] (reference self._chain)."""
+        """Thinned cold-chain history [rows, ndim] for chain index 0
+        (reference self._chain, one chain per rank)."""
         if not self._chain_host:
             return np.zeros((0, self.ndim))
         return np.concatenate(self._chain_host, axis=0)
+
+    @property
+    def chains(self):
+        """ALL vmapped cold chains, chains-major [nchains, rows, ndim] —
+        the TPU throughput axis the reference cannot have. Feed directly to
+        :func:`ptmcmcsampler_tpu.diagnostics.multichain_ess`."""
+        if not self._chains_host:
+            return np.zeros((self.nchains, 0, self.ndim))
+        return np.moveaxis(np.concatenate(self._chains_host, axis=0), 0, 1)
+
+    @property
+    def pooled_chain(self):
+        """All cold-chain samples pooled into one [rows * nchains, ndim]."""
+        return self.chains.reshape(-1, self.ndim)
 
     @property
     def lnprob_chain(self):

@@ -72,7 +72,10 @@ class Counters:
     naccepted: jax.Array  # [T, C] i32
     jump_proposed: jax.Array  # [J, T, C] i32
     jump_accepted: jax.Array  # [J, T, C] i32
-    swaps_proposed: jax.Array  # scalar i32
+    # Per adjacent-pair proposal counts (pair i = (i, i+1), index T-1 unused):
+    # the sweep scheme proposes every pair per swap event, DEO only the
+    # active-parity pairs, so accepted/proposed is mode-consistent.
+    swaps_proposed: jax.Array  # [T] i32
     swaps_accepted: jax.Array  # [T, C] i32 (per adjacent pair index)
 
 
@@ -171,7 +174,7 @@ def init_state(
             naccepted=jnp.zeros((t, c), jnp.int32),
             jump_proposed=jnp.zeros((j, t, c), jnp.int32),
             jump_accepted=jnp.zeros((j, t, c), jnp.int32),
-            swaps_proposed=jnp.zeros((), jnp.int32),
+            swaps_proposed=jnp.zeros((t,), jnp.int32),
             swaps_accepted=jnp.zeros((t, c), jnp.int32),
         ),
     )

@@ -27,15 +27,18 @@ import jax.numpy as jnp
 def sweep_swap_map(key, lnlike, betas):
     """Build the per-chain swap permutation via the reference's serial sweep.
 
-    lnlike: [T, C]; returns (swap_map [T, C] i32, accepted [T, C] bool) where
-    ``accepted[i]`` marks pair (i, i+1) swaps, and pair index T-1 is unused
-    (the hottest chain has no upper neighbor; reference reports pt_acc = 1 for
-    it, PTMCMCSampler.py:737-739).
+    lnlike: [T, C]; returns (swap_map [T, C] i32, accepted [T, C] bool,
+    proposed [T] bool) where ``accepted[i]`` marks pair (i, i+1) swaps and
+    ``proposed[i]`` marks that pair (i, i+1) was proposed this event (in a
+    sweep: every pair; pair index T-1 is unused — the hottest chain has no
+    upper neighbor; reference reports pt_acc = 1 for it,
+    PTMCMCSampler.py:737-739).
     """
     t, c = lnlike.shape
     us = jax.random.uniform(key, (t - 1, c) if t > 1 else (1, c))
     swap_map0 = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
     accepted0 = jnp.zeros((t, c), bool)
+    proposed = jnp.arange(t) < (t - 1)
 
     def body(step, carry):
         m, acc = carry
@@ -56,8 +59,9 @@ def sweep_swap_map(key, lnlike, betas):
         return m, acc
 
     if t <= 1:
-        return swap_map0, accepted0
-    return jax.lax.fori_loop(0, t - 1, body, (swap_map0, accepted0))
+        return swap_map0, accepted0, jnp.zeros((t,), bool)
+    m, acc = jax.lax.fori_loop(0, t - 1, body, (swap_map0, accepted0))
+    return m, acc, proposed
 
 
 def deo_swap_map(key, lnlike, betas, parity):
@@ -67,12 +71,17 @@ def deo_swap_map(key, lnlike, betas, parity):
     Detailed balance holds per pair; alternating parities gives the
     non-reversible DEO scheme with better round-trip rates than the
     stochastic sweep at many temperatures.
+
+    Returns (swap_map [T, C], accepted [T, C], proposed [T]); ``proposed[i]``
+    is True only for pairs active at this parity, so per-pair acceptance
+    rates (accepted / proposed) are directly comparable between DEO and the
+    sweep scheme.
     """
     t, c = lnlike.shape
     swap_map = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
     accepted = jnp.zeros((t, c), bool)
     if t <= 1:
-        return swap_map, accepted
+        return swap_map, accepted, jnp.zeros((t,), bool)
 
     us = jax.random.uniform(key, (t, c))
     idx = jnp.arange(t)
@@ -89,7 +98,8 @@ def deo_swap_map(key, lnlike, betas, parity):
     take_full_hi = jnp.concatenate([jnp.zeros((1, c), bool), take], axis=0)  # i swaps w/ i-1
     target = jnp.where(take_full_lo, swap_map + 1, jnp.where(take_full_hi, swap_map - 1, swap_map))
     accepted = accepted.at[:-1].set(take)
-    return target.astype(jnp.int32), accepted
+    proposed = jnp.concatenate([is_pair_lo, jnp.zeros((1,), bool)])
+    return target.astype(jnp.int32), accepted, proposed
 
 
 def apply_swap(swap_map, x, lnlike, lnprior):

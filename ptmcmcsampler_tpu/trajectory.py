@@ -64,103 +64,80 @@ def empty_capture(config) -> TrajCapture:
 
 
 class Trajectory:
-    """Host-side trajectory buffer, API-compatible with the reference
-    ``Trajectory`` (nutsjump.py:294-376): ``add_sample`` / ``get_trajectory`` /
-    ``get_used_trajectory`` / ``reset`` / ``length``."""
+    """Host-side view over one captured trajectory.
 
-    def __init__(self, ndim, bufsize=1000):
-        self.ndim = ndim
-        self.bufadd = bufsize
-        self.bufsize_plus = bufsize
-        self.bufsize_minus = bufsize
-        self.trajlen_plus = 0
-        self.trajlen_minus = 0
-        self.trajbuf_plus = np.zeros((self.bufsize_plus, ndim))
-        self.trajind_plus = np.zeros(self.bufsize_plus)
-        self.trajbuf_minus = np.zeros((self.bufsize_minus, ndim))
-        self.trajind_minus = np.zeros(self.bufsize_minus)
+    Provides the query surface users of the reference's trajectory buffer
+    relied on — ``get_trajectory(which)`` and ``get_used_trajectory(ind)``
+    (behavioral target: nutsjump.py:294-376) — but is a completely different
+    structure: the device capture kernel already produced the full branch
+    arrays, so this class is just two append-only sample lists with the
+    lookups computed on demand. There is no preallocated/growable buffer
+    machinery; incremental ``add_sample`` exists only for host-side users who
+    assemble a trajectory by hand.
+    """
+
+    def __init__(self, ndim, bufsize=None):
+        del bufsize  # accepted for signature compatibility; lists self-grow
+        self.ndim = int(ndim)
+        self._branches = {"plus": [], "minus": []}  # lists of (theta, ind)
 
     def reset(self):
-        self.trajlen_plus = 0
-        self.trajlen_minus = 0
-
-    def _grow(self, which):
-        if which == "plus":
-            self.trajbuf_plus = np.append(
-                self.trajbuf_plus, np.zeros((self.bufadd, self.ndim)), axis=0
-            )
-            self.trajind_plus = np.append(self.trajind_plus, np.zeros(self.bufadd))
-            self.bufsize_plus += self.bufadd
-        else:
-            self.trajbuf_minus = np.append(
-                self.trajbuf_minus, np.zeros((self.bufadd, self.ndim)), axis=0
-            )
-            self.trajind_minus = np.append(self.trajind_minus, np.zeros(self.bufadd))
-            self.bufsize_minus += self.bufadd
+        self._branches = {"plus": [], "minus": []}
 
     def add_sample(self, theta, ind, which="plus"):
-        if which == "plus":
-            if self.trajlen_plus >= self.bufsize_plus:
-                self._grow("plus")
-            self.trajbuf_plus[self.trajlen_plus, :] = theta
-            self.trajind_plus[self.trajlen_plus] = ind
-            self.trajlen_plus += 1
-        else:
-            if self.trajlen_minus >= self.bufsize_minus:
-                self._grow("minus")
-            self.trajbuf_minus[self.trajlen_minus, :] = theta
-            self.trajind_minus[self.trajlen_minus] = ind
-            self.trajlen_minus += 1
+        self._branches[which].append((np.asarray(theta, np.float64), int(ind)))
 
     def length(self):
-        return self.trajlen_plus + self.trajlen_minus
+        return len(self._branches["plus"]) + len(self._branches["minus"])
+
+    def _stack(self, which):
+        samples = self._branches[which]
+        if not samples:
+            return np.zeros((0, self.ndim)), np.zeros((0,))
+        thetas = np.stack([t for t, _ in samples])
+        inds = np.asarray([i for _, i in samples], np.float64)
+        return thetas, inds
 
     def get_trajectory(self, which="both"):
-        if which == "both":
-            return (
-                np.append(
-                    self.trajbuf_minus[: self.trajlen_minus][::-1, :],
-                    self.trajbuf_plus[: self.trajlen_plus, :],
-                    axis=0,
-                ),
-                np.append(
-                    self.trajind_minus[: self.trajlen_minus][::-1],
-                    self.trajind_plus[: self.trajlen_plus],
-                ),
-            )
-        if which == "plus":
-            return (
-                self.trajbuf_plus[: self.trajlen_plus],
-                self.trajind_plus[: self.trajlen_plus],
-            )
+        """Branch positions + global step indices; ``both`` orders the minus
+        branch outward-end-first so the rows trace the full path left→right."""
+        if which in ("plus", "minus"):
+            return self._stack(which)
+        plus, ip = self._stack("plus")
+        minus, im = self._stack("minus")
         return (
-            self.trajbuf_minus[: self.trajlen_minus],
-            self.trajind_minus[: self.trajlen_minus],
+            np.concatenate([minus[::-1], plus], axis=0),
+            np.concatenate([im[::-1], ip]),
         )
 
     def get_used_trajectory(self, ind):
-        """Path from the start point to the sample with global index ``ind``
-        (nutsjump.py:364-375)."""
-        tiplus = self.trajind_plus[: self.trajlen_plus]
-        timinus = self.trajind_minus[: self.trajlen_minus]
-        if ind in tiplus:
-            index = int(np.where(tiplus == ind)[0][0]) + 1
-            return self.trajbuf_plus[:index, :]
-        if ind in timinus:
-            index = int(np.where(timinus == ind)[0][0]) + 1
-            return np.append(
-                self.trajbuf_plus[:1, :], self.trajbuf_minus[:index, :], axis=0
-            )
+        """Leapfrog path from the start point to the sample with global step
+        index ``ind``. The start sample lives at the head of the plus branch,
+        so a minus-branch target is reached via start -> minus prefix."""
+        plus, ip = self._stack("plus")
+        minus, im = self._stack("minus")
+        hits_p = np.flatnonzero(ip == ind)
+        if hits_p.size:
+            return plus[: hits_p[0] + 1]
+        hits_m = np.flatnonzero(im == ind)
+        if hits_m.size:
+            return np.concatenate([plus[:1], minus[: hits_m[0] + 1]], axis=0)
         raise ValueError("Index not found")
 
 
 def capture_to_trajectory(cap: dict, ndim: int) -> Trajectory:
     """Materialize a host :class:`Trajectory` from device capture arrays."""
-    tr = Trajectory(ndim, bufsize=max(int(cap["len_plus"]), int(cap["len_minus"]), 1))
-    for i in range(int(cap["len_plus"])):
-        tr.add_sample(np.asarray(cap["plus"][i]), int(cap["ind_plus"][i]), "plus")
-    for i in range(int(cap["len_minus"])):
-        tr.add_sample(np.asarray(cap["minus"][i]), int(cap["ind_minus"][i]), "minus")
+    tr = Trajectory(ndim)
+    plus = np.asarray(cap["plus"], np.float64)
+    minus = np.asarray(cap["minus"], np.float64)
+    ip = np.asarray(cap["ind_plus"])
+    im = np.asarray(cap["ind_minus"])
+    tr._branches["plus"] = [
+        (plus[i], int(ip[i])) for i in range(int(cap["len_plus"]))
+    ]
+    tr._branches["minus"] = [
+        (minus[i], int(im[i])) for i in range(int(cap["len_minus"]))
+    ]
     return tr
 
 

@@ -83,14 +83,22 @@ class TestStep:
     def test_swaps_happen(self):
         cfg, _, run_block, state = build(ntemps=4)
         state, _ = run_block(state, 200)
-        assert int(state.counters.swaps_proposed) == int(state.it) // cfg.tskip
+        nevents = int(state.it) // cfg.tskip
+        prop = np.asarray(state.counters.swaps_proposed)
+        # sweep mode proposes every adjacent pair per event; last index unused
+        np.testing.assert_array_equal(prop[:3], nevents)
+        assert prop[3] == 0
         acc = np.asarray(state.counters.swaps_accepted)
         assert acc[:3].sum() > 0  # some adjacent-pair swaps accepted
 
     def test_deo_mode_runs(self):
         cfg, _, run_block, state = build(ntemps=4, swap_mode="deo")
         state, _ = run_block(state, 100)
-        assert int(state.counters.swaps_proposed) > 0
+        prop = np.asarray(state.counters.swaps_proposed)
+        nevents = int(state.it) // cfg.tskip
+        # DEO alternates parities: first event at it=tskip has parity 1
+        # (pair (1,2) only), then parity 0 (pairs (0,1),(2,3)), ...
+        assert prop[:3].sum() == 2 * (nevents // 2) + (nevents + 1) // 2
         assert np.asarray(state.counters.swaps_accepted)[:3].sum() > 0
 
     def test_per_chain_mode_runs(self):
@@ -167,3 +175,56 @@ class TestRngImpls:
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(s1.x)), np.asarray(jax.device_get(s2.x))
         )
+
+
+class TestCheckpointPathKeys:
+    """Checkpoint leaves are keyed by pytree path, not flatten order, so a
+    state-layout change fails loudly instead of loading shifted arrays."""
+
+    def test_legacy_index_keyed_file_rejected(self, tmp_path):
+        import os
+
+        from ptmcmcsampler_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg, step, run_block, state = build()
+        path = os.path.join(str(tmp_path), "ckpt.npz")
+        save_checkpoint(path, state)
+        # Rewrite as the round-1 index-keyed layout.
+        data = dict(np.load(path))
+        legacy = {f"leaf_{i}": v for i, (k, v) in enumerate(sorted(data.items()))
+                  if not k.startswith("__")}
+        np.savez(path, **legacy)
+        with pytest.raises(ValueError, match="legacy|unrecognized"):
+            load_checkpoint(path, state)
+
+    def test_missing_leaf_named_in_error(self, tmp_path):
+        import os
+
+        from ptmcmcsampler_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg, step, run_block, state = build()
+        path = os.path.join(str(tmp_path), "ckpt.npz")
+        save_checkpoint(path, state)
+        data = dict(np.load(path))
+        del data["adapt/cov"]
+        np.savez(path, **data)
+        with pytest.raises(ValueError, match="adapt/cov"):
+            load_checkpoint(path, state)
+
+    def test_same_shape_fields_load_by_name(self, tmp_path):
+        """lnlike/lnprior have identical shapes; path keys must keep them
+        apart even if flatten order changed."""
+        import os
+
+        from ptmcmcsampler_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        cfg, step, run_block, state = build()
+        state = state.replace(
+            lnlike=jnp.full_like(state.lnlike, 3.0),
+            lnprior=jnp.full_like(state.lnprior, -7.0),
+        )
+        path = os.path.join(str(tmp_path), "ckpt.npz")
+        save_checkpoint(path, state)
+        loaded, _ = load_checkpoint(path, state)
+        np.testing.assert_array_equal(np.asarray(loaded.lnlike), 3.0)
+        np.testing.assert_array_equal(np.asarray(loaded.lnprior), -7.0)

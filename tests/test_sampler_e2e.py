@@ -95,8 +95,14 @@ class TestSimpleSampler:
         assert data.shape[1] == sampler.ndim + 4
         # initial row + niter/thin rows
         assert data.shape[0] == 1 + 3000 // 2
-        # acceptance-rate column within (0, 1]
-        assert np.all(data[1:, -2] > 0) and np.all(data[1:, -2] <= 1)
+        # acceptance-rate column within [0, 1], per-row cumulative (reference
+        # PTMCMCSampler.py:731-745): it must VARY inside an isave block, not
+        # be block-constant staircases.
+        assert np.all(data[1:, -2] >= 0) and np.all(data[1:, -2] <= 1)
+        assert data[-1, -2] > 0
+        isave_rows = 500 // 2
+        first_block = data[1 : 1 + isave_rows, -2]
+        assert np.unique(first_block).size > isave_rows // 4
         assert os.path.isfile(os.path.join(outdir, "cov.npy"))
         assert os.path.isfile(os.path.join(outdir, "jumps.txt"))
         assert os.path.isfile(os.path.join(outdir, "covarianceJumpProposalAM_jump.txt"))
@@ -216,6 +222,47 @@ class TestNeffTermination:
         # should stop well before 100k iterations
         assert int(sampler.state.it) < 100000
 
+    def test_multichain_neff_stops_faster_than_single(self, glo, tmp_path):
+        """Pooled multichain ESS drives the neff stop: 64 chains must reach a
+        large neff target in far fewer iterations than one chain could."""
+        ndim = len(glo.mu)
+        p0 = np.clip(glo.mu, -9, 9)
+        sampler = PTSampler(
+            ndim, glo.lnlikefn, glo.lnpriorfn, np.copy(glo.cov),
+            ntemps=1, nchains=64, outDir=str(tmp_path / "c6"), verbose=False, seed=6,
+        )
+        sampler.sample(p0, 50000, burn=100, thin=2, covUpdate=200, isave=200,
+                       SCAMweight=20, AMweight=20, DEweight=20, neff=2000)
+        it = int(sampler.state.it)
+        assert it < 50000  # single chain would need >> 2000 * tau iterations
+
+
+class TestAllChainHarvest:
+    def test_all_chains_recorded_and_written(self, glo, tmp_path):
+        """The vmapped nchains axis is harvested: nchains=64 yields ~64x the
+        recorded samples, on host and in the all-chain binary output."""
+        nchains = 64
+        sampler = run_sampler(glo, tmp_path, niter=1000, nchains=nchains)
+        rows = sampler.chain.shape[0]
+        assert rows == 1 + 1000 // 2
+        chains = sampler.chains  # [C, rows, D]
+        assert chains.shape == (nchains, rows, sampler.ndim)
+        assert sampler.pooled_chain.shape == (nchains * rows, sampler.ndim)
+        # chain 0 of the chains-major view is the text-file chain
+        np.testing.assert_allclose(chains[0], sampler.chain, rtol=1e-6)
+        # chains are genuinely distinct samples, not copies
+        assert not np.allclose(chains[0, rows // 2:], chains[1, rows // 2:])
+        # binary all-chain file round-trips
+        outdir = str(tmp_path / "chains")
+        from ptmcmcsampler_tpu.io.chainfile import ChainWriter
+
+        loaded = sampler._writer.load_all(0)
+        assert loaded is not None and loaded.shape == (rows, nchains, sampler.ndim)
+        np.testing.assert_allclose(
+            np.moveaxis(loaded, 0, 1), chains, rtol=1e-5, atol=1e-6
+        )
+        del ChainWriter
+
 
 def test_resume_falls_back_on_stale_checkpoint(tmp_path):
     """A checkpoint from an older state layout (fewer leaves) must not crash
@@ -244,7 +291,7 @@ def test_resume_falls_back_on_stale_checkpoint(tmp_path):
     # Corrupt the checkpoint into an "old layout" with missing leaves.
     ckpt = os.path.join(outdir, "checkpoint.npz")
     data = dict(np.load(ckpt, allow_pickle=False))
-    keys = [k for k in data if k.startswith("leaf_")]
+    keys = [k for k in data if not k.startswith("__")]
     for k in sorted(keys)[-4:]:
         del data[k]
     np.savez(ckpt, **data)

@@ -46,9 +46,12 @@ def build(ndim=8, ntemps=6, nchains=32, swap_mode="sweep", hot_chain=False, seed
 
 
 def swap_rates(state):
-    prop = int(state.counters.swaps_proposed)
+    # Per-pair accounting: proposed[i] counts events where pair (i, i+1) was
+    # actually proposed (all pairs per sweep event; alternating pairs in DEO),
+    # so accepted/proposed is directly comparable across swap modes.
+    prop = np.asarray(state.counters.swaps_proposed, dtype=np.float64)[:-1]
     acc = np.asarray(state.counters.swaps_accepted, dtype=np.float64)
-    return acc.mean(axis=1)[:-1] / max(prop, 1)
+    return acc.mean(axis=1)[:-1] / np.maximum(prop, 1.0)
 
 
 @pytest.mark.slow
@@ -75,10 +78,10 @@ def test_deo_matches_sweep_statistics():
     std1 = np.asarray(o1.x[:, 0]).reshape(-1, 8).std(axis=0)
     std2 = np.asarray(o2.x[:, 0]).reshape(-1, 8).std(axis=0)
     np.testing.assert_allclose(std1, std2, rtol=0.15)
-    # DEO proposes each pair half as often but with similar per-proposal rate;
-    # per-pair accepted counts should be within a factor ~2 band of sweep's.
+    # With per-pair proposal accounting the two modes report directly
+    # comparable per-proposal acceptance rates — no fixup factor.
     r1 = swap_rates(s1)
-    r2 = swap_rates(s2) * 2.0  # DEO: each pair active every other sweep event
+    r2 = swap_rates(s2)
     np.testing.assert_allclose(r1.mean(), r2.mean(), rtol=0.5)
 
 
