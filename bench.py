@@ -1,10 +1,13 @@
 """Benchmark: effective samples/sec on the curved-likelihood workload.
 
 The headline metric from BASELINE.json: effective samples/sec/chip on the
-curved (banana) likelihood of examples/curved_likelihood.ipynb, with the full
-jump cycle (SCAM/AM/DE + NUTS/HMC, MALA off) and an 8-rung parallel-tempering
-ladder — the reference's `mpirun -np 8` workload mapped onto one TPU chip via
-vmapped chains and an on-device ladder.
+curved (banana) likelihood of examples/curved_likelihood.ipynb, with a full
+jump cycle (SCAM/AM/DE + a gradient family, MALA off) and an 8-rung
+parallel-tempering ladder — the reference's `mpirun -np 8` workload mapped
+onto one TPU chip via vmapped chains and an on-device ladder. The default
+gradient family is ChEES-HMC (vmap-friendly adaptive trajectories; see
+PROFILE_r02.md for why NUTS is the wrong kernel shape for this batch);
+`grad_mode=nuts` runs the reference-parity NUTS/HMC cycle instead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -63,10 +66,18 @@ def tpu_alive(timeout_s=90):
 
 
 def main(
-    ntemps=8, nchains=1024, burn_iters=3000, timed_iters=6000, with_grads=True,
-    block=500, workload="curved", grad_mode="nuts", nuts_max_depth=8,
-    rng_impl="threefry2x32", force_cpu=0,
+    ntemps=8, nchains=4096, burn_iters=3000, timed_iters=12000, with_grads=True,
+    block=1000, workload="curved", grad_mode="chees", nuts_max_depth=8,
+    rng_impl="rbg", force_cpu=0,
 ):
+    # Default configuration chosen from the committed per-branch TPU profile
+    # (PROFILE_r02.md): the gradient family runs as ChEES-HMC (adaptive
+    # fixed-length trajectories, ~0.6 ms/iter for the whole [8, 4096] batch)
+    # instead of NUTS (~67 ms/iter at depth 6: the per-chain variable-depth
+    # tree serializes up to 2^depth masked leapfrog leaves), and the chain
+    # batch rides the nearly-free vmap axis (1024 -> 4096 chains costs ~1.7x
+    # the time for 4x the effective samples). grad_mode="nuts" reproduces the
+    # round-1 configuration.
     import jax
 
     if force_cpu:
