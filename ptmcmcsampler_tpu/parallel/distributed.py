@@ -82,11 +82,33 @@ def make_pt_mesh(ntemp_devices=None, nchain_devices=1, devices=None,
                 f"nchain_devices={nchain_devices} must be a multiple of the "
                 f"process count {nproc} so the chain axis tiles across hosts"
             )
-        dmesh = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(ntemp_devices, nchain_devices // nproc),
-            dcn_mesh_shape=(1, nproc),
-            devices=devices,
-        )
+        try:
+            dmesh = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(ntemp_devices, nchain_devices // nproc),
+                dcn_mesh_shape=(1, nproc),
+                devices=devices,
+            )
+        except ValueError:
+            # Backends without slice metadata (e.g. multi-process CPU, used
+            # by the 2-process test): group by process_index by hand — temp
+            # axis inside each process's devices, chain tiles the processes.
+            local_chain = nchain_devices // nproc
+            per_proc = ntemp_devices * local_chain
+            dmesh = np.empty((ntemp_devices, nchain_devices), dtype=object)
+            procs = sorted({d.process_index for d in devices})
+            if len(procs) < nproc:
+                raise
+            for ci, p in enumerate(procs[:nproc]):
+                local = [d for d in devices if d.process_index == p][:per_proc]
+                if len(local) < per_proc:
+                    raise ValueError(
+                        f"process {p} has {len(local)} devices; mesh needs "
+                        f"{per_proc} per process"
+                    )
+                block = np.asarray(local, dtype=object).reshape(
+                    ntemp_devices, local_chain
+                )
+                dmesh[:, ci * local_chain : (ci + 1) * local_chain] = block
     else:
         try:
             dmesh = mesh_utils.create_device_mesh(

@@ -70,3 +70,31 @@ def shard_state(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
     """Place a (host or single-device) state onto the mesh."""
     sharding = state_sharding(state, mesh, axis=axis, chain_axis=chain_axis)
     return jax.device_put(state, sharding)
+
+
+def shard_state_global(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
+    """Place host-replicated state onto a (possibly multi-process) mesh.
+
+    Unlike :func:`shard_state` (plain ``device_put``), this works when the
+    mesh spans processes and most devices are not addressable — the SPMD
+    analogue of the reference scattering initial state from rank 0
+    (PTMCMCSampler.py:99-105): every process supplies the identical full host
+    array and materializes only its addressable shards.
+    """
+    import jax.numpy as jnp
+
+    sharding = state_sharding(state, mesh, axis=axis, chain_axis=chain_axis)
+
+    def place(leaf, sh):
+        is_key = jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key)
+        if is_key:
+            impl = jax.random.key_impl(leaf)
+            data = np.asarray(jax.device_get(jax.random.key_data(leaf)))
+        else:
+            data = np.asarray(jax.device_get(leaf))
+        arr = jax.make_array_from_callback(data.shape, sh, lambda idx: data[idx])
+        if is_key:
+            return jax.random.wrap_key_data(arr, impl=impl)
+        return arr
+
+    return jax.tree_util.tree_map(place, state, sharding)

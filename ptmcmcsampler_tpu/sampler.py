@@ -41,6 +41,7 @@ from .io.chainfile import ChainWriter
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .kernel import build_step
 from .ladder import ladder_betas, temperature_ladder
+from .parallel.mesh import make_temp_mesh, shard_state
 from .state import init_state
 
 
@@ -141,6 +142,7 @@ class PTSampler:
         adapt_from="cold",
         mesh=None,
         temp_axis="temp",
+        chain_axis="chain",
         rng_impl="threefry2x32",
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
@@ -153,6 +155,7 @@ class PTSampler:
         self.resume = resume
         self.mesh = mesh
         self.temp_axis = temp_axis
+        self.chain_axis = chain_axis
         self.jump_select = jump_select
         self.swap_mode = swap_mode
         self.adapt_from = adapt_from
@@ -455,6 +458,7 @@ class PTSampler:
                 )
                 writer.append_all(ti, x_host[ti][None])
 
+        state = self._place_on_mesh(state)
         self.state = state
         self.Niter = Niter
         tstart = time.time()
@@ -515,6 +519,49 @@ class PTSampler:
         return state
 
     # ------------------------------------------------------------ internals
+
+    def _place_on_mesh(self, state):
+        """Distribute the sampler state over a device mesh.
+
+        The TPU-native counterpart of the reference's ``mpirun -np N`` launch
+        model (README.md:40-46; one MPI rank per temperature,
+        PTMCMCSampler.py:94-105): the same jitted step program runs SPMD over
+        the mesh and GSPMD inserts the collectives. An explicit ``mesh=``
+        constructor argument wins; otherwise, when more than one device is
+        visible, a 1-D mesh is built automatically over the temperature axis
+        (or over the chain axis when ``ntemps`` doesn't tile the devices).
+        """
+        mesh = self.mesh
+        if mesh is None:
+            ndev = len(jax.devices())
+            if ndev <= 1:
+                return state
+            if self.ntemps % ndev == 0:
+                mesh = make_temp_mesh(ndev, axis=self.temp_axis)
+            elif self.nchains % ndev == 0:
+                mesh = make_temp_mesh(ndev, axis=self.chain_axis)
+            else:
+                return state  # no axis tiles the devices: stay unsharded
+            self.mesh = mesh
+        axes = tuple(getattr(mesh, "axis_names", ()))
+        t_ax = self.temp_axis if self.temp_axis in axes else None
+        c_ax = self.chain_axis if self.chain_axis in axes else None
+        if t_ax is None and c_ax is None:
+            raise ValueError(
+                f"mesh axes {axes} contain neither temp_axis="
+                f"{self.temp_axis!r} nor chain_axis={self.chain_axis!r}"
+            )
+        if t_ax is not None and self.ntemps % mesh.shape[t_ax] != 0:
+            raise ValueError(
+                f"ntemps={self.ntemps} must be a multiple of mesh axis "
+                f"{t_ax!r} size {mesh.shape[t_ax]}"
+            )
+        if c_ax is not None and self.nchains % mesh.shape[c_ax] != 0:
+            raise ValueError(
+                f"nchains={self.nchains} must be a multiple of mesh axis "
+                f"{c_ax!r} size {mesh.shape[c_ax]}"
+            )
+        return shard_state(state, mesh, axis=t_ax, chain_axis=c_ax)
 
     def _drain_block(self, state, out, it, tstart, Niter, writer, config):
         """Host-side block drain: chain files, jump stats, progress line."""

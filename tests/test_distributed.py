@@ -1,0 +1,66 @@
+"""Real multi-process jax.distributed coverage.
+
+The reference's multi-rank code paths are never exercised by its CI — it
+installs OpenMPI only so mpi4py builds, then runs single-process
+(SURVEY.md §4, .github/workflows/ci_test.yml:30-46). Here we do strictly
+better: launch TWO actual OS processes, join them through
+``initialize_distributed`` (the ``mpirun`` analogue), build the hybrid
+(temp x chain) mesh of ``make_pt_mesh`` with the chain axis tiling the
+processes, and run the jitted sampler step program collectively
+(parallel/distributed.py:22-99).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_distributed_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_mesh_step():
+    port = _free_port()
+    env = dict(os.environ)
+    # The worker pins its own platform/device-count flags.
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, acc, swaps, covtr = line.split()
+                results[int(pid)] = (int(acc), int(swaps), float(covtr))
+    assert set(results) == {0, 1}, results
+    # Both processes computed the identical global result (SPMD lockstep —
+    # the reference needed explicit barriers/bcast for this).
+    assert results[0] == results[1], results
+    acc, _, covtr = results[0]
+    assert acc > 0  # the collective program actually sampled
+    assert covtr > 0
