@@ -85,6 +85,8 @@ def build_step(
     logl: Callable,
     logp: Callable,
     func_grad: Optional[Callable] = None,
+    mesh=None,
+    temp_axis="temp",
 ):
     """Build the pure one-iteration kernel.
 
@@ -92,8 +94,23 @@ def build_step(
     JAX-traceable callables (the sampler driver wraps user functions);
     ``func_grad(x[D], beta) -> (val, grad[D])`` is the tempered log-density
     with gradient for the gradient jump family (nutsjump.py:71-76).
+
+    When ``mesh`` shards the temperature axis and ``swap_mode == "deo"``, the
+    replica exchange runs as neighbor ``ppermute`` exchanges under
+    ``shard_map`` (swaps.make_sharded_deo) — bit-identical results, with no
+    all-gather of positions on the swap path.
     """
     t, c, _ = config.ntemps, config.nchains, config.ndim
+
+    sharded_deo = None
+    if (
+        mesh is not None
+        and config.swap_mode == "deo"
+        and temp_axis in tuple(getattr(mesh, "axis_names", ()))
+        and mesh.shape[temp_axis] > 1
+        and t % mesh.shape[temp_axis] == 0
+    ):
+        sharded_deo = swaps.make_sharded_deo(mesh, temp_axis, t)
 
     logl_b = jax.vmap(jax.vmap(logl))
     logp_b = jax.vmap(jax.vmap(logp))
@@ -208,12 +225,18 @@ def build_step(
                 swap_map, accepted, proposed = swaps.sweep_swap_map(
                     key, st.lnlike, st.betas
                 )
+                x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
+            elif sharded_deo is not None:
+                parity = (it // config.tskip) % 2
+                x, ll, lp, accepted, proposed = sharded_deo(
+                    key, st.x, st.lnlike, st.lnprior, st.betas, parity
+                )
             else:
                 parity = (it // config.tskip) % 2
                 swap_map, accepted, proposed = swaps.deo_swap_map(
                     key, st.lnlike, st.betas, parity
                 )
-            x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
+                x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
             ctr = st.counters.replace(
                 swaps_proposed=st.counters.swaps_proposed + proposed.astype(jnp.int32),
                 swaps_accepted=st.counters.swaps_accepted + accepted.astype(jnp.int32),

@@ -399,8 +399,10 @@ class PTSampler:
         if MALAweight and self._logl_grad_fn is not None and self.verbose:
             print("WARNING: MALA jumps are not working properly yet")  # :230-231
 
+        mesh = self._resolve_mesh()
         step, run_block = build_step(
-            config, self._logl_fn, self._logp_fn, self._func_grad()
+            config, self._logl_fn, self._logp_fn, self._func_grad(),
+            mesh=mesh, temp_axis=self.temp_axis,
         )
         self._step_fn = step
 
@@ -520,29 +522,33 @@ class PTSampler:
 
     # ------------------------------------------------------------ internals
 
-    def _place_on_mesh(self, state):
-        """Distribute the sampler state over a device mesh.
+    def _resolve_mesh(self):
+        """Pick the device mesh for this run (or None for unsharded).
 
         The TPU-native counterpart of the reference's ``mpirun -np N`` launch
         model (README.md:40-46; one MPI rank per temperature,
         PTMCMCSampler.py:94-105): the same jitted step program runs SPMD over
-        the mesh and GSPMD inserts the collectives. An explicit ``mesh=``
-        constructor argument wins; otherwise, when more than one device is
-        visible, a 1-D mesh is built automatically over the temperature axis
-        (or over the chain axis when ``ntemps`` doesn't tile the devices).
+        the mesh and GSPMD/shard_map insert the collectives. An explicit
+        ``mesh=`` constructor argument wins; otherwise, when more than one
+        device is visible, a 1-D mesh is built automatically over the
+        temperature axis (or over the chain axis when ``ntemps`` doesn't tile
+        the devices).
         """
-        mesh = self.mesh
-        if mesh is None:
+        if self.mesh is None:
             ndev = len(jax.devices())
             if ndev <= 1:
-                return state
+                return None
             if self.ntemps % ndev == 0:
-                mesh = make_temp_mesh(ndev, axis=self.temp_axis)
+                self.mesh = make_temp_mesh(ndev, axis=self.temp_axis)
             elif self.nchains % ndev == 0:
-                mesh = make_temp_mesh(ndev, axis=self.chain_axis)
-            else:
-                return state  # no axis tiles the devices: stay unsharded
-            self.mesh = mesh
+                self.mesh = make_temp_mesh(ndev, axis=self.chain_axis)
+        return self.mesh
+
+    def _place_on_mesh(self, state):
+        """Distribute the sampler state over the resolved mesh."""
+        mesh = self.mesh
+        if mesh is None:
+            return state
         axes = tuple(getattr(mesh, "axis_names", ()))
         t_ax = self.temp_axis if self.temp_axis in axes else None
         c_ax = self.chain_axis if self.chain_axis in axes else None

@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
+def pair_uniforms(key, t, c):
+    """One uniform row per adjacent-pair index, derived by ``fold_in`` on the
+    global pair index. Device-local computable: a shard that owns pair ``g``
+    can regenerate exactly the same draw from the replicated key, which is
+    what lets the sharded ppermute path below be bit-identical to the
+    single-device path (no cross-device randomness exchange needed)."""
+    def one(g):
+        return jax.random.uniform(jax.random.fold_in(key, g), (c,))
+
+    return jax.vmap(one)(jnp.arange(t))
+
+
 def sweep_swap_map(key, lnlike, betas):
     """Build the per-chain swap permutation via the reference's serial sweep.
 
@@ -83,7 +95,7 @@ def deo_swap_map(key, lnlike, betas, parity):
     if t <= 1:
         return swap_map, accepted, jnp.zeros((t,), bool)
 
-    us = jax.random.uniform(key, (t, c))
+    us = pair_uniforms(key, t, c)[:-1]  # [T-1, C]
     idx = jnp.arange(t)
     lo = idx[:-1]
     is_pair_lo = (lo % 2) == (parity % 2)  # [T-1] bool: pair (i, i+1) active
@@ -91,7 +103,7 @@ def deo_swap_map(key, lnlike, betas, parity):
     dll = jnp.where(jnp.isneginf(lnlike[1:]) & jnp.isneginf(lnlike[:-1]), 0.0, dll)
     log_acc = (betas[:-1, None] - betas[1:, None]) * dll
     log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
-    take = is_pair_lo[:, None] & (jnp.log(jnp.maximum(us[:-1], 1e-37)) <= log_acc)
+    take = is_pair_lo[:, None] & (jnp.log(jnp.maximum(us, 1e-37)) <= log_acc)
 
     # Build permutation: row i goes up if take[i], row i+1 comes down.
     take_full_lo = jnp.concatenate([take, jnp.zeros((1, c), bool)], axis=0)  # i swaps w/ i+1
@@ -108,3 +120,114 @@ def apply_swap(swap_map, x, lnlike, lnprior):
     llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
     lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
     return xg, llg, lpg
+
+
+def make_sharded_deo(mesh, temp_axis, ntemps, parity_fn=None):
+    """DEO swaps as neighbor ``ppermute`` exchanges under ``shard_map``.
+
+    The TPU-native replacement SURVEY §2.3 names for the reference's
+    gather → rank-0 sweep → scatter (PTMCMCSampler.py:660-691): when the
+    temperature ladder is sharded over a mesh axis, a DEO event only ever
+    exchanges *adjacent* rows, so the only cross-device traffic is each
+    shard's boundary row moving one neighbor over ICI — a
+    ``collective-permute``, never an all-gather of the positions.
+
+    Randomness comes from :func:`pair_uniforms`' per-pair ``fold_in`` draws,
+    which every shard regenerates locally from the replicated key — the
+    result is bit-identical to the single-device ``deo_swap_map`` +
+    ``apply_swap`` path (asserted in tests/test_sharding.py).
+
+    Returns ``f(key, x, lnlike, lnprior, betas, parity) ->
+    (x, lnlike, lnprior, accepted [T, C] bool, proposed [T] bool)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ndev = mesh.shape[temp_axis]
+    assert ntemps % ndev == 0, (ntemps, ndev)
+    tl = ntemps // ndev
+    up = [(d + 1, d) for d in range(ndev - 1)]  # receive from upper neighbor
+    dn = [(d, d + 1) for d in range(ndev - 1)]  # receive from lower neighbor
+
+    def body(key, x, lnlike, lnprior, betas, parity):
+        """Shard-local block: x [Tl, C, D], lnlike/lnprior [Tl, C],
+        betas [Tl]; key and parity replicated."""
+        di = jax.lax.axis_index(temp_axis)
+        c = lnlike.shape[1]
+        g = di * tl + jnp.arange(tl)  # global row index of each local row
+
+        def pp(v):
+            return jax.lax.ppermute(v, temp_axis, up)
+
+        # Upper-partner rows for each local row as the LOW side of its pair:
+        # rows 1..Tl-1 locally, plus the upper neighbor's first row.
+        nb_ll = pp(lnlike[0])
+        nb_lp = pp(lnprior[0])
+        nb_x = pp(x[0])
+        nb_beta = pp(betas[0])
+        hi_ll = jnp.concatenate([lnlike[1:], nb_ll[None]], axis=0)
+        hi_lp = jnp.concatenate([lnprior[1:], nb_lp[None]], axis=0)
+        hi_x = jnp.concatenate([x[1:], nb_x[None]], axis=0)
+        hi_beta = jnp.concatenate([betas[1:], nb_beta[None]])
+
+        active = ((g % 2) == (parity % 2)) & (g <= ntemps - 2)
+        # Same per-pair draws as pair_uniforms, regenerated shard-locally.
+        us = jax.vmap(
+            lambda gi: jax.random.uniform(jax.random.fold_in(key, gi), (c,))
+        )(g)
+        dll = jnp.where(jnp.isneginf(hi_ll) & jnp.isneginf(lnlike), 0.0, hi_ll - lnlike)
+        log_acc = (betas[:, None] - hi_beta[:, None]) * dll
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        take_low = active[:, None] & (jnp.log(jnp.maximum(us, 1e-37)) <= log_acc)
+
+        # Each row as the HIGH side of the pair below it: shift take_low down
+        # one row; the shard boundary row comes from the lower neighbor.
+        def pd(v):
+            return jax.lax.ppermute(v, temp_axis, dn)
+
+        below_take = pd(take_low[-1])
+        below_ll = pd(lnlike[-1])
+        below_lp = pd(lnprior[-1])
+        below_x = pd(x[-1])
+        take_high = jnp.concatenate([below_take[None], take_low[:-1]], axis=0)
+        lo_ll = jnp.concatenate([below_ll[None], lnlike[:-1]], axis=0)
+        lo_lp = jnp.concatenate([below_lp[None], lnprior[:-1]], axis=0)
+        lo_x = jnp.concatenate([below_x[None], x[:-1]], axis=0)
+
+        # Pairs are disjoint at a given parity, so take_low/take_high never
+        # overlap on a row.
+        new_ll = jnp.where(take_low, hi_ll, jnp.where(take_high, lo_ll, lnlike))
+        new_lp = jnp.where(take_low, hi_lp, jnp.where(take_high, lo_lp, lnprior))
+        tl3 = take_low[:, :, None]
+        th3 = take_high[:, :, None]
+        new_x = jnp.where(tl3, hi_x, jnp.where(th3, lo_x, x))
+        return new_x, new_ll, new_lp, take_low, active
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(),  # key (replicated)
+            P(temp_axis, None, None),  # x
+            P(temp_axis, None),  # lnlike
+            P(temp_axis, None),  # lnprior
+            P(temp_axis),  # betas
+            P(),  # parity
+        ),
+        out_specs=(
+            P(temp_axis, None, None),
+            P(temp_axis, None),
+            P(temp_axis, None),
+            P(temp_axis, None),
+            P(temp_axis),
+        ),
+    )
+
+    def run(key, x, lnlike, lnprior, betas, parity):
+        return sharded(key, x, lnlike, lnprior, betas, jnp.asarray(parity, jnp.int32))
+
+    return run

@@ -122,6 +122,103 @@ def test_2d_pt_mesh_temp_and_chain():
     )
 
 
+class TestShardedDeoSwaps:
+    """ppermute-based DEO replica exchange under shard_map (SURVEY §2.3's
+    TPU-native target for the reference's gather->sweep->scatter,
+    PTMCMCSampler.py:660-691)."""
+
+    def _inputs(self, ntemps=8, nchains=4, ndim=3, seed=0):
+        key = jax.random.key(seed)
+        kx, kl = jax.random.split(key)
+        x = jax.random.normal(kx, (ntemps, nchains, ndim))
+        lnlike = -0.5 * jnp.sum(x**2, axis=-1)
+        lnprior = jnp.zeros((ntemps, nchains))
+        betas = jnp.asarray(np.geomspace(1.0, 0.1, ntemps), jnp.float32)
+        return key, x, lnlike, lnprior, betas
+
+    @pytest.mark.parametrize("parity", [0, 1])
+    def test_bit_identical_to_single_device(self, parity):
+        from ptmcmcsampler_tpu import swaps
+
+        key, x, lnlike, lnprior, betas = self._inputs()
+        mesh = make_temp_mesh(8)
+        sharded = swaps.make_sharded_deo(mesh, "temp", 8)
+
+        swap_map, acc_ref, prop_ref = swaps.deo_swap_map(key, lnlike, betas, parity)
+        x_ref, ll_ref, lp_ref = swaps.apply_swap(swap_map, x, lnlike, lnprior)
+
+        xs = shard_state  # noqa: F841  (sharding the inputs by hand below)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))  # noqa: E731
+        x_s, ll_s, lp_s, acc_s, prop_s = jax.jit(sharded)(
+            key,
+            put(x, P("temp")),
+            put(lnlike, P("temp")),
+            put(lnprior, P("temp")),
+            put(betas, P("temp")),
+            parity,
+        )
+        np.testing.assert_array_equal(np.asarray(jax.device_get(x_s)), np.asarray(x_ref))
+        np.testing.assert_array_equal(np.asarray(jax.device_get(ll_s)), np.asarray(ll_ref))
+        np.testing.assert_array_equal(np.asarray(jax.device_get(lp_s)), np.asarray(lp_ref))
+        np.testing.assert_array_equal(np.asarray(jax.device_get(acc_s)), np.asarray(acc_ref))
+        np.testing.assert_array_equal(np.asarray(jax.device_get(prop_s)), np.asarray(prop_ref))
+
+    def test_hlo_has_no_all_gather_on_swap_path(self):
+        """The compiled sharded swap must move state with collective-permute
+        only — no all-gather of the positions (the whole point vs GSPMD's
+        lowering of take_along_axis)."""
+        from ptmcmcsampler_tpu import swaps
+
+        key, x, lnlike, lnprior, betas = self._inputs(nchains=16, ndim=8)
+        mesh = make_temp_mesh(8)
+        sharded = swaps.make_sharded_deo(mesh, "temp", 8)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))  # noqa: E731
+        args = (
+            key, put(x, P("temp")), put(lnlike, P("temp")),
+            put(lnprior, P("temp")), put(betas, P("temp")), 1,
+        )
+        compiled = jax.jit(sharded).lower(*args).compile()
+        hlo = compiled.as_text()
+        assert "collective-permute" in hlo
+        assert "all-gather" not in hlo
+        assert "all-to-all" not in hlo
+
+    def test_kernel_uses_sharded_deo_and_matches(self):
+        """build_step(mesh=...) in deo mode produces the same sampling results
+        as the unsharded deo program (same keys, bit-comparable)."""
+        cfg, step, run_block, state = build(swap_mode="deo")
+        ref_state, ref_out = run_block(state, 30)
+
+        from ptmcmcsampler_tpu.kernel import build_step as bs
+
+        def logl(x):
+            return -0.5 * jnp.sum(x**2)
+
+        def logp(x):
+            return jnp.where(jnp.all(jnp.abs(x) < 20.0), 0.0, -jnp.inf)
+
+        mesh = make_temp_mesh(8)
+        _, run_block_sh = bs(cfg, logl, logp, mesh=mesh, temp_axis="temp")
+        sstate = shard_state(state, mesh)
+        sh_state, sh_out = run_block_sh(sstate, 30)
+        np.testing.assert_allclose(
+            np.asarray(ref_out.x), np.asarray(jax.device_get(sh_out.x)),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.counters.swaps_accepted),
+            np.asarray(jax.device_get(sh_state.counters.swaps_accepted)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.counters.swaps_proposed),
+            np.asarray(jax.device_get(sh_state.counters.swaps_proposed)),
+        )
+
+
 class TestPTSamplerOnMesh:
     """The user-facing sampler places its state on a mesh (VERDICT item:
     the reference's whole launch model is `mpirun -np N`; here `PTSampler`
