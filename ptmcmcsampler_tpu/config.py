@@ -31,6 +31,7 @@ KIND_HMC = "hmc"
 KIND_NUTS = "nuts"
 KIND_CHEES = "chees"
 KIND_CUSTOM = "custom"
+KIND_PRIOR = "prior_draw"
 
 GRADIENT_KINDS = (KIND_MALA, KIND_HMC, KIND_NUTS, KIND_CHEES)
 

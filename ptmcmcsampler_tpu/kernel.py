@@ -115,7 +115,7 @@ def build_step(
     logl_b = jax.vmap(jax.vmap(logl))
     logp_b = jax.vmap(jax.vmap(logp))
 
-    branches = build_jump_branches(config, func_grad)
+    branches = build_jump_branches(config, func_grad, logp=logp)
     aux_chain = build_aux_chain(config)
     n_aux = len(config.aux_jumps)
 

@@ -1,5 +1,6 @@
 from .examples import (  # noqa: F401
     CorrelatedGaussian,
     CurvedLikelihood,
+    HierarchicalGaussian,
     IntervalTransformedGaussian,
 )

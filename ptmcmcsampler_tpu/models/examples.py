@@ -86,6 +86,73 @@ class CurvedLikelihood:
         return self.lnpriorfn(x), jnp.zeros_like(x)
 
 
+class HierarchicalGaussian:
+    """Linear-Gaussian hierarchy, 50-D by default (BASELINE.json config 4:
+    "custom jump proposals + prior-draw jumps with weighted jump cycle, 50D
+    hierarchical Gaussian").
+
+        mu       ~ N(0, s_mu^2)                      (hyper-parameter)
+        theta_i  ~ N(mu, s_t^2),  i = 1..ngroups     (group effects)
+        y_i      ~ N(theta_i, s_y^2)                 (data, fixed at init)
+
+    Parameter vector x = (mu, theta_1..theta_ngroups). Everything is
+    Gaussian, so the posterior mean/covariance have closed forms
+    (:meth:`posterior_moments`) that tests assert against. The hierarchical
+    prior is exactly samplable (:meth:`draw_prior`), which is what the
+    prior-draw jump needs.
+    """
+
+    def __init__(self, ngroups=49, s_mu=3.0, s_t=1.0, s_y=0.5, seed=0):
+        self.ngroups = int(ngroups)
+        self.ndim = self.ngroups + 1
+        self.s_mu, self.s_t, self.s_y = float(s_mu), float(s_t), float(s_y)
+        rng = np.random.default_rng(seed)
+        true_mu = rng.normal(0.0, s_mu)
+        true_theta = true_mu + rng.normal(0.0, s_t, self.ngroups)
+        self.y = true_theta + rng.normal(0.0, s_y, self.ngroups)
+        self._y_j = jnp.asarray(self.y, jnp.float32)
+
+    def lnpriorfn(self, x):
+        """Hierarchical prior p(mu) * prod_i p(theta_i | mu), up to an
+        additive constant (constants cancel in MH ratios and in the
+        prior-draw Hastings correction logp(x) - logp(q))."""
+        mu = x[0]
+        th = x[1:]
+        return (
+            -0.5 * (mu / self.s_mu) ** 2
+            - 0.5 * jnp.sum(((th - mu) / self.s_t) ** 2)
+        )
+
+    def lnlikefn(self, x):
+        th = x[1:]
+        return -0.5 * jnp.sum(((self._y_j - th) / self.s_y) ** 2)
+
+    def lnlikefn_grad(self, x):
+        return jax.value_and_grad(self.lnlikefn)(x)
+
+    def lnpriorfn_grad(self, x):
+        return jax.value_and_grad(self.lnpriorfn)(x)
+
+    def draw_prior(self, key):
+        """Exact ancestral sample from the hierarchical prior."""
+        kmu, kth = jax.random.split(key)
+        mu = self.s_mu * jax.random.normal(kmu, (), jnp.float32)
+        th = mu + self.s_t * jax.random.normal(kth, (self.ngroups,), jnp.float32)
+        return jnp.concatenate([mu[None], th])
+
+    def posterior_moments(self):
+        """Closed-form posterior mean and covariance of (mu, theta)."""
+        g = self.ngroups
+        prec = np.zeros((self.ndim, self.ndim))
+        prec[0, 0] = 1.0 / self.s_mu**2 + g / self.s_t**2
+        prec[0, 1:] = prec[1:, 0] = -1.0 / self.s_t**2
+        np.fill_diagonal(prec[1:, 1:], 1.0 / self.s_t**2 + 1.0 / self.s_y**2)
+        b = np.zeros(self.ndim)
+        b[1:] = self.y / self.s_y**2
+        cov = np.linalg.inv(prec)
+        return cov @ b, cov
+
+
 class IntervalTransformedGaussian:
     """Standard normal on a box, logit-transformed to R^n
     (reference tests/test_nuts.py:50-162)."""

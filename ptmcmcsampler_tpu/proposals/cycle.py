@@ -32,6 +32,7 @@ from ..config import (
     KIND_HMC,
     KIND_MALA,
     KIND_NUTS,
+    KIND_PRIOR,
     KIND_SCAM,
     SamplerConfig,
 )
@@ -76,7 +77,7 @@ def _wrap_legacy_aux(fn, ndim, dtype):
     return wrapped
 
 
-def _single_chain_kernel(spec, config: SamplerConfig, func_grad):
+def _single_chain_kernel(spec, config: SamplerConfig, func_grad, logp=None):
     kind = spec.kind
     if kind == KIND_SCAM:
         return am.make_scam(config)
@@ -88,6 +89,34 @@ def _single_chain_kernel(spec, config: SamplerConfig, func_grad):
         return gradient.make_mala(config, func_grad)
     if kind == KIND_HMC:
         return gradient.make_hmc(config, func_grad)
+    if kind == KIND_PRIOR:
+        # Independence proposal drawing from the user prior (BASELINE.json
+        # config 4 "prior-draw jumps"; no reference built-in — the enterprise
+        # pattern is a user jump that samples the prior). Hastings correction
+        # qxy = logp(x) - logp(q): exact when ``draw`` samples the density
+        # ``logp`` (up to a constant), which the caller asserts by
+        # registering the pair together.
+        draw = spec.fn
+        if spec.protocol == "legacy":
+            def prior_jump(key, x, beta, it, ctx, _draw=draw):
+                del beta, it, ctx
+                out_shape = jax.ShapeDtypeStruct((config.ndim,), config.dtype)
+                seed = jax.random.randint(key, (), 0, 2**31 - 1)
+
+                def host(s):
+                    return np.asarray(
+                        _draw(np.random.default_rng(int(s))), np.float64
+                    ).astype(config.dtype)
+
+                q = jax.pure_callback(host, out_shape, seed, vmap_method="sequential")
+                return q, logp(x) - logp(q)
+        else:
+            def prior_jump(key, x, beta, it, ctx, _draw=draw):
+                del beta, it, ctx
+                q = jnp.asarray(_draw(key), x.dtype)
+                return q, logp(x) - logp(q)
+
+        return prior_jump
     if kind == KIND_CUSTOM:
         if spec.protocol == "legacy":
             return _wrap_legacy(spec.fn, config.ndim, config.dtype)
@@ -100,13 +129,15 @@ def _single_chain_kernel(spec, config: SamplerConfig, func_grad):
     raise ValueError(f"unknown jump kind {kind!r}")
 
 
-def build_jump_branches(config: SamplerConfig, func_grad=None):
+def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
     """Build batched branch functions for `lax.switch`.
 
     Each branch has signature
         branch(keys[T,C,2], x[T,C,D], betas[T], it, ctx, ss_dict) ->
             (q[T,C,D], log_qxy[T,C], new_ss_dict)
     where ``ss_dict`` holds the per-(T,C) NUTS dual-averaging scalars.
+    ``logp`` (single-chain prior log-density) is required by prior-draw jumps
+    for their Hastings correction.
     """
     branches = []
     for spec in config.jumps:
@@ -143,7 +174,7 @@ def build_jump_branches(config: SamplerConfig, func_grad=None):
                 return q, qxy, new_ss
 
         else:
-            kernel = _single_chain_kernel(spec, config, func_grad)
+            kernel = _single_chain_kernel(spec, config, func_grad, logp=logp)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
                 per_chain = jax.vmap(

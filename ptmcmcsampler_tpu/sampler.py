@@ -32,6 +32,7 @@ import numpy as np
 from . import diagnostics, utils
 from .config import (
     KIND_CUSTOM,
+    KIND_PRIOR,
     JumpSpec,
     SamplerConfig,
     build_default_jumps,
@@ -240,6 +241,30 @@ class PTSampler:
             else:
                 spec = JumpSpec(name, KIND_CUSTOM, weight, fn=func, protocol="legacy")
         self._custom_jumps.append(spec)
+
+    def addPriorDrawToCycle(self, draw, weight, name="DrawFromPrior"):
+        """Register a prior-draw (independence) jump: propose ``q ~ prior``.
+
+        ``draw`` is either JAX-native ``draw(key) -> q[ndim]`` or a legacy
+        numpy callable ``draw(rng) -> q[ndim]`` taking a numpy Generator.
+        The Hastings correction ``logp(x) - logp(q)`` assumes ``draw``
+        samples the density of the sampler's ``logp`` (up to a constant).
+        BASELINE.json config 4; the reference has no built-in — users there
+        hand-roll it as a custom jump.
+        """
+        if weight == 0:
+            return
+        is_jax = True
+        try:
+            jax.eval_shape(draw, jax.random.key(0))
+        except Exception:
+            is_jax = False
+        self._custom_jumps.append(
+            JumpSpec(
+                name, KIND_PRIOR, weight, fn=draw,
+                protocol="jax" if is_jax else "legacy",
+            )
+        )
 
     def addAuxilaryJump(self, func, name=None):
         """Register an auxiliary jump applied after every proposal
