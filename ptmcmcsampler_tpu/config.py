@@ -87,6 +87,12 @@ class SamplerConfig:
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"
+    # Adaptive temperature-ladder geometry (Vousden+ 2016; beyond-reference,
+    # BASELINE.json config 5). Updates during burn-in only; endpoints fixed.
+    adapt_ladder: bool = False
+    ladder_adapt_lag: float = 10000.0
+    ladder_adapt_time: float = 100.0
+    ladder_adapt_skip_top: bool = False  # True when the top rung is beta=0 (hot chain)
     dtype: Any = np.float32
 
     # Gradient-jump statics.

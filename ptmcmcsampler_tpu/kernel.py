@@ -241,7 +241,23 @@ def build_step(
                 swaps_proposed=st.counters.swaps_proposed + proposed.astype(jnp.int32),
                 swaps_accepted=st.counters.swaps_accepted + accepted.astype(jnp.int32),
             )
-            return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr)
+            betas = st.betas
+            if config.adapt_ladder:
+                # Adaptive ladder geometry (Vousden+ 2016) from cumulative
+                # per-pair acceptance rates, burn-in only (the kernel is a
+                # fixed Markov kernel afterwards).
+                from .ladder import adapt_ladder_betas
+
+                rates = jnp.mean(ctr.swaps_accepted, axis=1) / jnp.maximum(
+                    ctr.swaps_proposed, 1
+                ).astype(betas.dtype)
+                new_betas = adapt_ladder_betas(
+                    betas, rates.astype(betas.dtype), it,
+                    lag=config.ladder_adapt_lag, time=config.ladder_adapt_time,
+                    skip_top=config.ladder_adapt_skip_top,
+                )
+                betas = jnp.where(it <= config.burn, new_betas, betas)
+            return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr, betas=betas)
 
         return jax.lax.cond(it % config.tskip == 0, do_swap, lambda s: s, state)
 

@@ -27,6 +27,41 @@ def temperature_ladder(ndim, ntemps, tmin=1.0, tmax=None, tstep=None):
     return tmin * tstep ** np.arange(ntemps)
 
 
+def adapt_ladder_betas(betas, pair_rates, it, lag=10000.0, time=100.0,
+                       skip_top=False):
+    """One adaptive-ladder update (pure, jittable) — beyond-reference.
+
+    The reference's ladder is static (PTMCMCSampler.py:699-720); the north
+    star asks for "temperature-ladder geometry adaptation ... as pure
+    functional state updates". This is the standard hyperbolic-decay scheme
+    of Vousden, Farr & Mandel (2016): temperature spacings grow/shrink by
+    the difference of adjacent pair swap-acceptance rates, equalizing
+    acceptance along the ladder. The coldest and hottest rungs stay fixed.
+
+    Args:
+      betas: [T] inverse temperatures (descending).
+      pair_rates: [T] per-pair acceptance rates (index i = pair (i, i+1);
+        the last entry is unused).
+      it: iteration number (for the hyperbolic decay kappa(t)).
+      skip_top: leave the final rung out of the geometry entirely (the
+        beta = 0 prior-sampling hot chain, which has no finite temperature).
+    Returns new betas [T].
+    """
+    import jax.numpy as jnp
+
+    t = betas.shape[0] - (1 if skip_top else 0)
+    if t < 3:
+        return betas
+    decay = lag / (it + lag)
+    kappa = decay / time
+    b = betas[:t]
+    rates = pair_rates[: t - 1]
+    ds = kappa * (rates[:-1] - rates[1:])  # [t-2]
+    delta_t = jnp.diff(1.0 / b[:-1]) * jnp.exp(ds)  # spacings T1-T0 .. (scaled)
+    new_mid = 1.0 / (jnp.cumsum(delta_t) + 1.0 / b[0])
+    return betas.at[1 : t - 1].set(new_mid.astype(betas.dtype))
+
+
 def ladder_betas(ladder, hot_chain=False):
     """Inverse temperatures for the compute path.
 

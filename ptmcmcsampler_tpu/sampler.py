@@ -302,7 +302,8 @@ class PTSampler:
     # --------------------------------------------------------------- sample
 
     def _build_config(
-        self, weights, burn, tskip, cov_update, thin, hmc_kwargs, nuts_trajectory=False
+        self, weights, burn, tskip, cov_update, thin, hmc_kwargs,
+        nuts_trajectory=False, ladder_kwargs=None,
     ):
         have_grads = self._logl_grad_fn is not None
         jumps = list(
@@ -339,6 +340,7 @@ class PTSampler:
             hmc_nminsteps=hmc_kwargs.get("nminsteps", 2),
             hmc_nmaxsteps=hmc_kwargs.get("nmaxsteps", 300),
             nuts_trajectory=nuts_trajectory,
+            **(ladder_kwargs or {}),
         )
 
     def _func_grad(self):
@@ -383,6 +385,9 @@ class PTSampler:
         trajectoryDir=None,
         write_burnin=False,
         profile_dir=None,
+        adaptLadder=False,
+        ladderAdaptLag=10000.0,
+        ladderAdaptTime=100.0,
     ):
         """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
         del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
@@ -413,6 +418,12 @@ class PTSampler:
             weights, burn, Tskip, covUpdate,
             thin, dict(stepsize=HMCstepsize, nminsteps=2, nmaxsteps=HMCsteps),
             nuts_trajectory=trajectoryDir is not None,
+            ladder_kwargs=dict(
+                adapt_ladder=bool(adaptLadder),
+                ladder_adapt_lag=float(ladderAdaptLag),
+                ladder_adapt_time=float(ladderAdaptTime),
+                ladder_adapt_skip_top=bool(hotChain),
+            ),
         )
         if trajectoryDir is not None:
             from .trajectory import TrajectoryWriter
