@@ -144,6 +144,9 @@ def main(
         hmc_stepsize=0.08,
         hmc_nmaxsteps=50,
         nuts_max_depth=nuts_max_depth,
+        # use_pallas stays off: the fused kernels crash the axon TPU worker
+        # when embedded in the scanned step (PROFILE_r02.md); the XLA path
+        # is the measured configuration.
     )
     step, run_block = build_step(
         cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None

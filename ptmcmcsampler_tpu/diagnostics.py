@@ -59,6 +59,32 @@ def effective_samples(chain, niter=None):
     return n / max(1.0, max_autocorr_time(chain))
 
 
+def split_rhat(chains):
+    """Split-chain potential scale reduction factor (Gelman-Rubin R-hat).
+
+    chains: [nchains, nsteps, ndim]. Each chain is split in half (so a single
+    long chain still yields a meaningful statistic), then the classic
+    between/within variance ratio is computed per parameter. Values near 1
+    indicate convergence; > ~1.01 is suspect. Companion to
+    :func:`multichain_ess` for the vmapped chain batches the reference's
+    one-chain-per-rank model cannot produce.
+    """
+    chains = np.asarray(chains, dtype=np.float64)
+    m, n, d = chains.shape
+    half = n // 2
+    if half < 2:
+        return np.full(d, np.nan)
+    split = np.concatenate([chains[:, :half], chains[:, half : 2 * half]], axis=0)
+    sm, sn = split.shape[0], split.shape[1]
+    means = split.mean(axis=1)  # [2m, d]
+    variances = split.var(axis=1, ddof=1)  # [2m, d]
+    w = variances.mean(axis=0)
+    b = sn * means.var(axis=0, ddof=1)
+    var_plus = (sn - 1) / sn * w + b / sn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_plus / w)
+
+
 def multichain_ess(chains):
     """Cross-chain effective sample size per parameter (Stan-style).
 

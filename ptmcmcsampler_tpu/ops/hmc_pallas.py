@@ -135,8 +135,10 @@ def _trajectory_kernel(
 
 def fused_hmc_trajectories(
     q0, p0, beta, nsteps, chol, *, func_grad, ndim, eps, nmax_steps,
-    block_n=4096, interpret=None,
+    block_n=512, interpret=None,
 ):
+    # block_n: lanes per grid program; see ops/chees_pallas.py — ~14 KB of
+    # scoped VMEM per lane on v5e, so 512 stays well under the ~16 MB budget.
     """Run fused whitened-HMC trajectories for a flat chain batch.
 
     Args:

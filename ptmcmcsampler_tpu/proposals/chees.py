@@ -98,32 +98,53 @@ def make_chees(config, func_grad):
         r0 = jax.vmap(jax.vmap(lambda k: jax.random.normal(k, (d,), dtype=dt)))(k_mom)
         k0 = 0.5 * jnp.sum(r0 * r0, axis=-1)
 
-        lf = jax.vmap(
-            jax.vmap(
-                lambda z, r, g, e, b: leapfrog(fgw, ctx, b, z, r, g, e),
-                in_axes=(0, 0, 0, 0, None),
-            ),
-            in_axes=(0, 0, 0, 0, 0),
-        )
+        if config.use_pallas:
+            # Fused trajectory kernel: whole leapfrog loop in VMEM with the
+            # chain batch on the lane axis (ops/chees_pallas.py). Same
+            # randomness and dynamics as the XLA while_loop below.
+            from ..ops.chees_pallas import fused_chees_trajectories
 
-        max_n = jnp.max(nsteps)
+            n = t * c
+            z1f, r1f, logp1f = fused_chees_trajectories(
+                q0.reshape(n, d),
+                r0.reshape(n, d),
+                jnp.repeat(betas, c).astype(dt),
+                eps_t.reshape(n),
+                nsteps.reshape(n),
+                ctx.chol,
+                func_grad=func_grad,
+                ndim=d,
+            )
+            z1 = z1f.reshape(t, c, d)
+            r1 = r1f.reshape(t, c, d)
+            logp1 = logp1f.reshape(t, c)
+        else:
+            lf = jax.vmap(
+                jax.vmap(
+                    lambda z, r, g, e, b: leapfrog(fgw, ctx, b, z, r, g, e),
+                    in_axes=(0, 0, 0, 0, None),
+                ),
+                in_axes=(0, 0, 0, 0, 0),
+            )
 
-        def body(carry):
-            i, z, r, g, logp = carry
-            zn, rn, gn, logpn = lf(z, r, g, eps_t, betas)
-            active = (i < nsteps)[..., None]
-            z = jnp.where(active, zn, z)
-            r = jnp.where(active, rn, r)
-            g = jnp.where(active, gn, g)
-            logp = jnp.where(active[..., 0], logpn, logp)
-            return i + 1, z, r, g, logp
+            max_n = jnp.max(nsteps)
 
-        def cond(carry):
-            return carry[0] < max_n
+            def body(carry):
+                i, z, r, g, logp = carry
+                zn, rn, gn, logpn = lf(z, r, g, eps_t, betas)
+                active = (i < nsteps)[..., None]
+                z = jnp.where(active, zn, z)
+                r = jnp.where(active, rn, r)
+                g = jnp.where(active, gn, g)
+                logp = jnp.where(active[..., 0], logpn, logp)
+                return i + 1, z, r, g, logp
 
-        _, z1, r1, g1, logp1 = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), q0, r0, grad0, logp0)
-        )
+            def cond(carry):
+                return carry[0] < max_n
+
+            _, z1, r1, g1, logp1 = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), q0, r0, grad0, logp0)
+            )
 
         k1 = 0.5 * jnp.sum(r1 * r1, axis=-1)
         joint0 = logp0 - k0

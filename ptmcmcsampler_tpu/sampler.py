@@ -145,6 +145,7 @@ class PTSampler:
         temp_axis="temp",
         chain_axis="chain",
         rng_impl="threefry2x32",
+        use_pallas=None,
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
         self.ndim = int(ndim)
@@ -160,6 +161,13 @@ class PTSampler:
         self.jump_select = jump_select
         self.swap_mode = swap_mode
         self.adapt_from = adapt_from
+        # Fused Pallas trajectory kernels for the gradient jumps (HMC and
+        # ChEES leapfrog loops in VMEM, ops/). Opt-in for now: the kernels
+        # are bit-verified against the XLA paths (tests/test_pallas_ops.py)
+        # and run standalone on the TPU, but embedding them in the scanned
+        # step program crashed the axon TPU worker in round-2 validation
+        # (PROFILE_r02.md), so the default stays the XLA path.
+        self.use_pallas = bool(use_pallas) if use_pallas is not None else False
 
         self._logl_fn, self._logl_traceable = _wrap_scalar_fn(
             logl, loglargs or [], loglkwargs or {}, self.ndim, self.dtype
@@ -332,6 +340,7 @@ class PTSampler:
             burn=burn,
             thin=thin,
             de_size=max(burn, self.nchains),
+            use_pallas=self.use_pallas,
             jump_select=self.jump_select,
             swap_mode=self.swap_mode,
             adapt_from=self.adapt_from,

@@ -136,3 +136,19 @@ class TestDiagnostics:
         tau = diagnostics.integrated_autocorr_time(x)
         expected = (1 + rho) / (1 - rho)  # = 19
         assert expected * 0.7 < tau < expected * 1.3
+
+    def test_split_rhat_converged_vs_not(self):
+        rng = np.random.default_rng(5)
+        # converged: 8 iid N(0,1) chains
+        good = rng.normal(size=(8, 2000, 2))
+        r_good = diagnostics.split_rhat(good)
+        assert np.all(r_good < 1.01), r_good
+        # non-converged: chains stuck at different means
+        bad = good + np.arange(8)[:, None, None]
+        r_bad = diagnostics.split_rhat(bad)
+        assert np.all(r_bad > 1.5), r_bad
+        # within-chain drift is caught by the split (single chain, trend)
+        drift = np.linspace(0, 5, 4000)[None, :, None] + rng.normal(
+            size=(1, 4000, 1)
+        )
+        assert diagnostics.split_rhat(drift)[0] > 1.2

@@ -90,6 +90,52 @@ def test_fused_hmc_divergence_break():
     )
 
 
+@pytest.mark.parametrize(
+    "model", [CurvedLikelihood(), IntervalTransformedGaussian(ndim=5)]
+)
+def test_fused_chees_matches_xla_path(model):
+    """The fused ChEES trajectory kernel (ops/chees_pallas.py) must produce
+    the same proposals, corrections, and adaptation-state updates as the
+    vmapped XLA while_loop, given identical keys."""
+    import dataclasses
+
+    from ptmcmcsampler_tpu.proposals import chees as chees_mod
+
+    cfg, func_grad, ctx, x, betas, keys = _setup(model, ntemps=2, nchains=9)
+    cfg_x = dataclasses.replace(cfg, use_pallas=False, chees_max_steps=32, burn=100)
+    cfg_p = dataclasses.replace(cfg, use_pallas=True, chees_max_steps=32, burn=100)
+
+    t, c = 2, 9
+    ss = dict(
+        chees_eps=jnp.full((t, c), 0.05, jnp.float32),
+        chees_epsbar=jnp.full((t, c), 0.05, jnp.float32),
+        chees_hbar=jnp.zeros((t, c), jnp.float32),
+        chees_mu=jnp.zeros((t, c), jnp.float32),
+        chees_count=jnp.zeros((t, c), jnp.float32),
+        chees_m=jnp.zeros((t, c), jnp.float32),
+        chees_v=jnp.zeros((t, c), jnp.float32),
+        chees_tlen=jnp.full((t, c), 0.4, jnp.float32),
+    )
+
+    # The pallas path interprets off-TPU (fused_chees_trajectories defaults
+    # interpret=True on CPU), so both run on the test backend.
+    q_ref, qxy_ref, ss_ref = chees_mod.make_chees(cfg_x, func_grad)(
+        keys, x, betas, 5, ctx, dict(ss)
+    )
+    q_p, qxy_p, ss_p = chees_mod.make_chees(cfg_p, func_grad)(
+        keys, x, betas, 5, ctx, dict(ss)
+    )
+    np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(qxy_p), np.asarray(qxy_ref), rtol=2e-3, atol=2e-3
+    )
+    for k in ss:
+        np.testing.assert_allclose(
+            np.asarray(ss_p[k]), np.asarray(ss_ref[k]), rtol=2e-3, atol=2e-4,
+            err_msg=k,
+        )
+
+
 def test_kernel_sampler_with_pallas_hmc_runs():
     """End-to-end step kernel with use_pallas=True mixes the fused branch
     into the cycle and keeps sampling the right distribution shape."""
