@@ -136,6 +136,32 @@ def test_fused_chees_matches_xla_path(model):
         )
 
 
+def test_ptsampler_use_pallas_flag_wires_through(tmp_path):
+    """PTSampler(use_pallas=True) must thread the flag into the compiled
+    config and sample correctly (interpret mode on the CPU test backend)."""
+    from ptmcmcsampler_tpu import PTSampler
+
+    model = CurvedLikelihood()
+    s = PTSampler(
+        2, model.lnlikefn, model.lnpriorfn, np.eye(2) * 0.01,
+        logl_grad=model.lnlikefn_grad, logp_grad=model.lnpriorfn_grad,
+        ntemps=1, nchains=4, outDir=str(tmp_path / "c"), verbose=False,
+        seed=9, use_pallas=True,
+    )
+    s.sample(np.array([-0.1, -0.5]), 40, burn=10, thin=1, isave=20,
+             covUpdate=100, SCAMweight=5, AMweight=0, DEweight=0,
+             NUTSweight=0, HMCweight=0, MALAweight=0, CHEESweight=5,
+             HMCstepsize=0.05)
+    assert s.config.use_pallas is True
+    assert np.isfinite(s.chain).all()
+
+    s2 = PTSampler(
+        2, model.lnlikefn, model.lnpriorfn, np.eye(2) * 0.01,
+        ntemps=1, nchains=4, outDir=str(tmp_path / "c2"), verbose=False, seed=9,
+    )
+    assert s2.use_pallas is False  # opt-in default (PROFILE_r02.md)
+
+
 def test_kernel_sampler_with_pallas_hmc_runs():
     """End-to-end step kernel with use_pallas=True mixes the fused branch
     into the cycle and keeps sampling the right distribution shape."""

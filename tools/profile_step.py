@@ -49,6 +49,8 @@ def run():
     iters = int(kwargs.get("iters", "2000"))
     ndim = int(kwargs.get("ndim", "2"))
     ntemps = int(kwargs.get("ntemps", "8"))
+    rng_impl = kwargs.get("rng_impl", "threefry2x32")
+    use_pallas = bool(int(kwargs.get("use_pallas", "0")))
 
     model = CurvedLikelihood() if ndim == 2 else IntervalTransformedGaussian(ndim=ndim)
     x0 = np.zeros(model.ndim) if ndim != 2 else np.array([-0.1, -0.5])
@@ -86,7 +88,7 @@ def run():
                 groups=(tuple(range(model.ndim)),),
                 jumps=jumps, tskip=100, cov_update=1000, burn=500,
                 thin=1, de_size=2000, hmc_stepsize=0.08, hmc_nmaxsteps=50,
-                nuts_max_depth=8,
+                nuts_max_depth=8, use_pallas=use_pallas,
             )
             step, run_block = build_step(cfg, model.lnlikefn, model.lnpriorfn, func_grad)
             ladder = temperature_ladder(model.ndim, ntemps)
@@ -94,7 +96,10 @@ def run():
             xs = jnp.broadcast_to(jnp.asarray(x0, cfg.dtype), (ntemps, nc, model.ndim))
             ll0 = jax.vmap(jax.vmap(model.lnlikefn))(xs)
             lp0 = jax.vmap(jax.vmap(model.lnpriorfn))(xs)
-            state = init_state(cfg, jax.random.PRNGKey(1), x0, np.eye(model.ndim), betas, ll0, lp0)
+            state = init_state(
+                cfg, jax.random.key(1, impl=rng_impl), x0, np.eye(model.ndim),
+                betas, ll0, lp0,
+            )
 
             def sync(arr):
                 return float(jax.device_get(jnp.sum(arr)))
