@@ -13,9 +13,10 @@ whole trajectory in VMEM. Differences from the HMC kernel:
 
   * per-lane step size ``eps`` (ChEES adapts one step size per temperature);
   * no divergence break (ChEES trajectories are fixed-length by design);
-  * a dynamic trip count: the loop runs to the batch *max* step count,
-    passed as a scalar, so short adapted trajectories stay short instead of
-    paying the static ``chees_max_steps`` bound;
+  * a static masked fori over the ``max_steps`` cap — the construct the HMC
+    kernel uses and that is validated inside the scanned step program on
+    real hardware (a dynamic while-loop trip count read from SMEM crashed
+    the axon TPU worker when embedded in the outer scan, PROFILE_r02.md);
   * returns the full (position, momentum, logp) endpoint state the ChEES
     criterion and MH correction need.
 
@@ -38,10 +39,9 @@ from .hmc_pallas import _LANES, _SUBLANES, _round_up
 
 
 def _chees_kernel(
-    nmax_ref,  # SMEM scalar: batch-max step count
     q0_ref, p0_ref, beta_ref, eps_ref, nsteps_ref, chol_ref,
     *rest,
-    func_grad, ndim, const_shapes,
+    func_grad, ndim, max_steps, const_shapes,
 ):
     const_refs = rest[: len(const_shapes)]
     qout_ref, pout_ref, logpout_ref = rest[len(const_shapes):]
@@ -76,13 +76,14 @@ def _chees_kernel(
     p0 = p0_ref[:]
     logp0, grad0 = fgw(q0)
     nsteps = nsteps_ref[0, :].reshape(1, bn)
-    nmax = nmax_ref[0]
 
-    def cond(carry):
-        return carry[0] < nmax
-
-    def body(carry):
-        i, q, p, g, logp = carry
+    # Static masked fori over the trajectory-length cap: the same construct
+    # as the HMC kernel, which is validated inside the scanned step program
+    # on real TPU hardware. (A dynamic while_loop bound read from SMEM
+    # crashed the axon TPU worker when embedded in the outer scan —
+    # PROFILE_r02.md.)
+    def body(i, carry):
+        q, p, g, logp = carry
         take = i < nsteps  # [1, BN]
         take_d = jnp.broadcast_to(take, (dp, bn))
         # leapfrog with per-lane eps (nutsjump.py:149-169 dynamics)
@@ -94,10 +95,11 @@ def _chees_kernel(
         p = jnp.where(take_d, pn, p)
         g = jnp.where(take_d, gn, g)
         logp = jnp.where(take, logpn, logp)
-        return i + 1, q, p, g, logp
+        return q, p, g, logp
 
-    init = (jnp.zeros((), jnp.int32), q0, p0, grad0, logp0)
-    _, q, p, _, logp1 = jax.lax.while_loop(cond, body, init)
+    q, p, _, logp1 = jax.lax.fori_loop(
+        0, max_steps, body, (q0, p0, grad0, logp0)
+    )
 
     qout_ref[:] = q
     pout_ref[:] = p
@@ -105,8 +107,8 @@ def _chees_kernel(
 
 
 def fused_chees_trajectories(
-    q0, p0, beta, eps, nsteps, chol, *, func_grad, ndim, block_n=512,
-    interpret=None,
+    q0, p0, beta, eps, nsteps, chol, *, func_grad, ndim, max_steps=None,
+    block_n=512, interpret=None,
 ):
     # block_n: lanes per grid program. Mosaic's scoped-VMEM budget is ~16 MB
     # and this kernel's working set measures ~14 KB/lane on v5e (the
@@ -155,8 +157,11 @@ def fused_chees_trajectories(
     const_shapes = tuple(tuple(np.shape(c)) for c in consts)
     const_in = [jnp.asarray(c).reshape(1, max(1, int(np.size(c)))) for c in consts]
 
+    if max_steps is None:
+        max_steps = 256
     kern = functools.partial(
-        _chees_kernel, func_grad=fg_conv, ndim=d, const_shapes=const_shapes
+        _chees_kernel, func_grad=fg_conv, ndim=d, max_steps=int(max_steps),
+        const_shapes=const_shapes,
     )
     grid = (npad // bn,)
     col_spec = lambda rows: pl.BlockSpec(  # noqa: E731
@@ -166,13 +171,10 @@ def fused_chees_trajectories(
     def rep_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    nmax = jnp.max(nsteps).astype(jnp.int32).reshape(1)
-
     qt, pt, logp = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # nmax scalar
             col_spec(dp), col_spec(dp), col_spec(1), col_spec(1), col_spec(1),
             rep_spec((dp, dp)),
         ]
@@ -185,7 +187,6 @@ def fused_chees_trajectories(
         ],
         interpret=interpret,
     )(
-        nmax,
         pad_t(q0), pad_t(p0),
         pad_row(beta, dtype, 1),
         pad_row(eps, dtype, 0),

@@ -114,6 +114,7 @@ def make_chees(config, func_grad):
                 ctx.chol,
                 func_grad=func_grad,
                 ndim=d,
+                max_steps=max_steps,
             )
             z1 = z1f.reshape(t, c, d)
             r1 = r1f.reshape(t, c, d)

@@ -790,3 +790,24 @@ class PTSampler:
         if self.state is None:
             return self.cov0
         return utils.host_array(self.state.adapt.cov)
+
+    # Reference counter attribute parity (PTMCMCSampler.py:214-216): scalars
+    # for the cold chain 0, as analysis scripts read them.
+
+    @property
+    def naccepted(self):
+        if self.state is None:
+            return 0
+        return int(utils.host_array(self.state.counters.naccepted)[0, 0])
+
+    @property
+    def swapProposed(self):  # noqa: N802 (reference casing)
+        if self.state is None:
+            return 0
+        return int(utils.host_array(self.state.counters.swaps_proposed)[0])
+
+    @property
+    def nswap_accepted(self):
+        if self.state is None:
+            return 0
+        return int(utils.host_array(self.state.counters.swaps_accepted)[0, 0])
