@@ -49,7 +49,10 @@ from ptmcmcsampler_tpu.state import init_state  # noqa: E402
 mesh = make_pt_mesh(ntemp_devices=4, nchain_devices=nproc)
 assert mesh.shape == {"temp": 4, "chain": nproc}
 
-ndim, ntemps, nchains = 3, 4, 2 * nproc
+# BASELINE.json config 5 shape: many-rung ADAPTIVE ladder sharded over the
+# mesh, ppermute (DEO) replica exchange, DE buffer in the cycle — across two
+# real OS processes.
+ndim, ntemps, nchains = 3, 8, 2 * nproc
 
 
 def logl(x):
@@ -64,19 +67,22 @@ cfg = SamplerConfig(
     ndim=ndim, ntemps=ntemps, nchains=nchains,
     groups=(tuple(range(ndim)),),
     jumps=build_default_jumps(burn=20),
-    tskip=5, cov_update=20, burn=20, thin=1, de_size=50,
+    tskip=5, cov_update=20, burn=1000, thin=1, de_size=50,
+    swap_mode="deo", adapt_ladder=True, ladder_adapt_lag=100.0,
+    ladder_adapt_time=5.0,
 )
-step, run_block = build_step(cfg, logl, logp)
+step, run_block = build_step(cfg, logl, logp, mesh=mesh, temp_axis="temp")
 ladder = temperature_ladder(ndim, ntemps)
 _, betas = ladder_betas(ladder)
 x0 = np.zeros(ndim) + 0.3
 xs = np.broadcast_to(x0, (ntemps, nchains, ndim))
 ll0 = np.asarray([[float(-0.5 * np.sum(x**2)) for x in row] for row in xs])
 lp0 = np.zeros((ntemps, nchains))
+betas0 = np.array(betas)
 state = init_state(cfg, jax.random.key(0), x0, np.eye(ndim) * 0.1, betas, ll0, lp0)
 state = shard_state_global(state, mesh, axis="temp", chain_axis="chain")
 
-state, out = run_block(state, 25)
+state, out = run_block(state, 200)
 
 # Replicated state (the covariance every device computes identically) is
 # addressable everywhere; sharded leaves must be reduced to replicated
@@ -92,11 +98,19 @@ swap_acc = jax.jit(
     lambda s: jnp.sum(s.counters.swaps_accepted),
     out_shardings=NamedSharding(mesh, P()),
 )(state)
+# The adaptive (sharded) ladder must have moved and stayed ordered.
+betas_rep = jax.jit(
+    lambda s: s.betas, out_shardings=NamedSharding(mesh, P())
+)(state)
+betas_host = np.asarray(jax.device_get(betas_rep))
+assert np.all(np.diff(betas_host) < 0) and np.all(betas_host > 0), betas_host
+assert not np.allclose(betas_host, betas0), betas_host  # geometry adapted
 print(
     "RESULT",
     pid,
     int(jax.device_get(total_acc)),
     int(jax.device_get(swap_acc)),
     round(float(np.trace(cov)), 6),
+    round(float(betas_host[1]), 6),
     flush=True,
 )

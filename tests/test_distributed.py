@@ -55,12 +55,15 @@ def test_two_process_mesh_step():
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
-                _, pid, acc, swaps, covtr = line.split()
-                results[int(pid)] = (int(acc), int(swaps), float(covtr))
+                _, pid, acc, swaps, covtr, beta1 = line.split()
+                results[int(pid)] = (int(acc), int(swaps), float(covtr), float(beta1))
     assert set(results) == {0, 1}, results
     # Both processes computed the identical global result (SPMD lockstep —
     # the reference needed explicit barriers/bcast for this).
     assert results[0] == results[1], results
-    acc, _, covtr = results[0]
+    acc, swaps, covtr, beta1 = results[0]
     assert acc > 0  # the collective program actually sampled
+    assert swaps > 0  # ppermute DEO exchanges happened across the mesh
     assert covtr > 0
+    assert 0 < beta1 < 1  # adaptive sharded ladder stayed ordered (also
+    # asserted in-worker, including that it moved off the geometric start)
