@@ -130,6 +130,15 @@ class SamplerConfig:
                         "per_chain jump selection cannot mix gradient jumps; "
                         "use jump_select='shared'"
                     )
+                if j.protocol == "legacy":
+                    # per_chain evaluates EVERY branch each iteration; a
+                    # host-callback branch would do ntemps*nchains host
+                    # round-trips per iteration regardless of selection.
+                    raise ValueError(
+                        f"per_chain jump selection cannot include the "
+                        f"host-callback (numpy) jump {j.name!r}; pass a "
+                        f"JAX-traceable jump or use jump_select='shared'"
+                    )
 
     @property
     def njumps(self):

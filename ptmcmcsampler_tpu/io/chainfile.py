@@ -129,19 +129,40 @@ class ChainWriter:
         with open(binf, "ab") as f:
             f.write(np.ascontiguousarray(block, dtype=np.float32).tobytes())
 
-    def load_all(self, i):
-        """All-chain thinned history [rows, nchains, ndim] (or None)."""
+    def all_rows_count(self, i):
+        """Number of rows currently in the all-chain sidecar (0 if absent)."""
+        binf, metaf = self._all_paths(i)
+        if not (os.path.isfile(binf) and os.path.isfile(metaf)):
+            return 0
+        with open(metaf) as f:
+            meta = json.load(f)
+        row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
+            meta.get("dtype", "float32")
+        ).itemsize
+        return os.path.getsize(binf) // max(row_bytes, 1)
+
+    def load_all(self, i, tail_rows=None):
+        """All-chain thinned history [rows, nchains, ndim] (or None).
+
+        ``tail_rows`` reads only the last N rows (seek-based — a resume on a
+        huge run never has to materialize the whole file in RAM).
+        """
         binf, metaf = self._all_paths(i)
         if not (os.path.isfile(binf) and os.path.isfile(metaf)):
             return None
         with open(metaf) as f:
             meta = json.load(f)
         c, d = meta["nchains"], meta["ndim"]
-        raw = np.fromfile(binf, dtype=meta.get("dtype", "float32"))
-        rows = raw.size // (c * d)
+        dtype = np.dtype(meta.get("dtype", "float32"))
+        row_bytes = c * d * dtype.itemsize
+        rows = os.path.getsize(binf) // row_bytes
         if rows == 0:
             return None
-        return raw[: rows * c * d].reshape(rows, c, d)
+        take = rows if tail_rows is None else min(int(tail_rows), rows)
+        with open(binf, "rb") as f:
+            f.seek((rows - take) * row_bytes)
+            raw = np.frombuffer(f.read(take * row_bytes), dtype=dtype)
+        return raw.reshape(take, c, d)
 
     def write_cov(self, cov):
         np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))

@@ -255,6 +255,9 @@ def build_step(
                     betas, rates.astype(betas.dtype), it,
                     lag=config.ladder_adapt_lag, time=config.ladder_adapt_time,
                     skip_top=config.ladder_adapt_skip_top,
+                    # DEO: pairs not yet proposed (the other parity at the
+                    # first events) carry no information — mask them.
+                    pair_valid=ctr.swaps_proposed > 0,
                 )
                 betas = jnp.where(it <= config.burn, new_betas, betas)
             return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr, betas=betas)

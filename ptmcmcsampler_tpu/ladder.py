@@ -28,7 +28,7 @@ def temperature_ladder(ndim, ntemps, tmin=1.0, tmax=None, tstep=None):
 
 
 def adapt_ladder_betas(betas, pair_rates, it, lag=10000.0, time=100.0,
-                       skip_top=False):
+                       skip_top=False, pair_valid=None):
     """One adaptive-ladder update (pure, jittable) — beyond-reference.
 
     The reference's ladder is static (PTMCMCSampler.py:699-720); the north
@@ -36,7 +36,11 @@ def adapt_ladder_betas(betas, pair_rates, it, lag=10000.0, time=100.0,
     functional state updates". This is the standard hyperbolic-decay scheme
     of Vousden, Farr & Mandel (2016): temperature spacings grow/shrink by
     the difference of adjacent pair swap-acceptance rates, equalizing
-    acceptance along the ladder. The coldest and hottest rungs stay fixed.
+    acceptance along the ladder. The coldest and hottest rungs stay fixed,
+    and interior rungs are projected to stay strictly inside (T_min, T_max):
+    when the updated spacings would push a rung past the fixed hottest one,
+    they are rescaled proportionally to fit, so the ladder can never invert
+    or collapse even under a persistent acceptance-rate imbalance.
 
     Args:
       betas: [T] inverse temperatures (descending).
@@ -45,6 +49,10 @@ def adapt_ladder_betas(betas, pair_rates, it, lag=10000.0, time=100.0,
       it: iteration number (for the hyperbolic decay kappa(t)).
       skip_top: leave the final rung out of the geometry entirely (the
         beta = 0 prior-sampling hot chain, which has no finite temperature).
+      pair_valid: optional [T] bool — pairs with no proposal data yet (e.g.
+        the inactive parity of the first DEO events). A spacing update only
+        applies when both pairs it compares have data; fabricated 0-rates
+        would otherwise drive the largest (early, kappa-max) updates.
     Returns new betas [T].
     """
     import jax.numpy as jnp
@@ -57,8 +65,20 @@ def adapt_ladder_betas(betas, pair_rates, it, lag=10000.0, time=100.0,
     b = betas[:t]
     rates = pair_rates[: t - 1]
     ds = kappa * (rates[:-1] - rates[1:])  # [t-2]
+    if pair_valid is not None:
+        ok = pair_valid[: t - 1]
+        ds = jnp.where(ok[:-1] & ok[1:], ds, 0.0)
     delta_t = jnp.diff(1.0 / b[:-1]) * jnp.exp(ds)  # spacings T1-T0 .. (scaled)
-    new_mid = 1.0 / (jnp.cumsum(delta_t) + 1.0 / b[0])
+    # Projection: interior rungs must stay strictly below the fixed hottest
+    # temperature. If the summed spacings would overflow the available span,
+    # rescale them proportionally into (1 - margin) of it.
+    t0 = 1.0 / b[0]
+    t_top = 1.0 / b[t - 1]
+    avail = t_top - t0
+    total = jnp.sum(delta_t)
+    scale = jnp.minimum(1.0, 0.995 * avail / jnp.maximum(total, 1e-30))
+    delta_t = delta_t * scale
+    new_mid = 1.0 / (jnp.cumsum(delta_t) + t0)
     return betas.at[1 : t - 1].set(new_mid.astype(betas.dtype))
 
 

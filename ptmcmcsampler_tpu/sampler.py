@@ -42,7 +42,7 @@ from .io.chainfile import ChainWriter
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .kernel import build_step
 from .ladder import ladder_betas, temperature_ladder
-from .parallel.mesh import make_temp_mesh, shard_state
+from .parallel.mesh import make_temp_mesh, shard_state, shard_state_global
 from .state import init_state
 
 
@@ -146,6 +146,7 @@ class PTSampler:
         chain_axis="chain",
         rng_impl="threefry2x32",
         use_pallas=None,
+        host_history_bytes=2 * 1024**3,
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
         self.ndim = int(ndim)
@@ -205,7 +206,13 @@ class PTSampler:
         self.state = None
         self.ladder = None
         self._chain_host = []  # cold chain 0 thinned history ([rows, D] blocks)
-        self._chains_host = []  # ALL cold chains ([rows, C, D] blocks)
+        # ALL cold chains ([rows, C, D] blocks) — a bounded in-RAM window of
+        # the most recent thinned rows (the full history lives on disk in the
+        # chain_all_<T>.bin sidecar). `_chains_host_row0` is the global
+        # thinned-row index of the window's first retained row.
+        self._chains_host = []
+        self._chains_host_row0 = 0
+        self._host_history_bytes = int(host_history_bytes)
         self._lnlike_host = []
         self._lnprob_host = []
 
@@ -539,7 +546,10 @@ class PTSampler:
                     # ~linearly with chains, unlike the reference's
                     # single-chain iter/tau (PTMCMCSampler.py:510-521).
                     arr = np.concatenate(self._chains_host, axis=0)  # [rows, C, D]
-                    post = arr[burn_rows:]
+                    # The in-RAM window may start after row 0 (bounded
+                    # retention / resume): slice in GLOBAL row coordinates.
+                    start = max(0, burn_rows - self._chains_host_row0)
+                    post = arr[start:]
                     if post.shape[0] >= 8:
                         chains = np.moveaxis(post, 0, 1)  # [C, rows, D]
                         n_eff = float(np.min(diagnostics.multichain_ess(chains)))
@@ -612,6 +622,10 @@ class PTSampler:
                 f"nchains={self.nchains} must be a multiple of mesh axis "
                 f"{c_ax!r} size {mesh.shape[c_ax]}"
             )
+        if jax.process_count() > 1:
+            # device_put cannot target non-addressable devices; build each
+            # leaf from the (identical) host copy instead.
+            return shard_state_global(state, mesh, axis=t_ax, chain_axis=c_ax)
         return shard_state(state, mesh, axis=t_ax, chain_axis=c_ax)
 
     def _drain_block(self, state, out, it, tstart, Niter, writer, config):
@@ -630,6 +644,16 @@ class PTSampler:
         self._chains_host.append(x[:, 0, :, :])
         self._lnlike_host.append(lnlike[:, 0, 0])
         self._lnprob_host.append(lnprob[:, 0, 0])
+        # Bound the all-chain in-RAM window (the full history is on disk in
+        # chain_all_<T>.bin); drop oldest blocks past the byte budget.
+        cap_rows = max(
+            1, self._host_history_bytes // max(1, self.nchains * self.ndim * 4)
+        )
+        total_rows = sum(b.shape[0] for b in self._chains_host)
+        while total_rows > cap_rows and len(self._chains_host) > 1:
+            dropped = self._chains_host.pop(0)
+            self._chains_host_row0 += dropped.shape[0]
+            total_rows -= dropped.shape[0]
 
         if getattr(self, "_traj_writer", None) is not None and out.traj is not None:
             tr = jax.device_get(out.traj)
@@ -716,9 +740,16 @@ class PTSampler:
                 "Old chain has {0} rows, which is not the initial sample plus "
                 "a multiple of isave/thin = {1}".format(rows, isave // thin)
             )
-        # Rebuild per-temperature positions from each chain file's last row.
+        # Rebuild per-temperature positions: every chain's own last position
+        # from the chain_all sidecar when present (so a resumed vmapped batch
+        # restarts non-degenerate); otherwise broadcast the text file's last
+        # row (the reference-format-only fallback, one chain of data).
         x_res = np.array(np.broadcast_to(x0, (self.ntemps, self.nchains, self.ndim)))
         for ti in range(self.ntemps):
+            tail = writer.load_all(ti, tail_rows=1)
+            if tail is not None and tail.shape[1] == self.nchains:
+                x_res[ti, :, :] = tail[-1]
+                continue
             d = writer.existing_rows(ti)
             if d is not None and len(d):
                 x_res[ti, :, :] = d[-1, : self.ndim]
@@ -747,11 +778,18 @@ class PTSampler:
         self._chain_host = [data[:, : self.ndim]]
         self._lnprob_host = [data[:, -4]]
         self._lnlike_host = [data[:, -3]]
-        all_rows = self._writer.load_all(0)
+        cap_rows = max(
+            1, self._host_history_bytes // max(1, self.nchains * self.ndim * 4)
+        )
+        total_rows = self._writer.all_rows_count(0)
+        all_rows = self._writer.load_all(0, tail_rows=cap_rows)
         if all_rows is not None and all_rows.shape[1] == self.nchains:
             self._chains_host = [all_rows]
+            self._chains_host_row0 = total_rows - all_rows.shape[0]
         else:
+            # No usable sidecar: the window restarts at the resume point.
             self._chains_host = []
+            self._chains_host_row0 = data.shape[0]
 
     # ------------------------------------------------------------ accessors
 
@@ -767,14 +805,25 @@ class PTSampler:
     def chains(self):
         """ALL vmapped cold chains, chains-major [nchains, rows, ndim] —
         the TPU throughput axis the reference cannot have. Feed directly to
-        :func:`ptmcmcsampler_tpu.diagnostics.multichain_ess`."""
+        :func:`ptmcmcsampler_tpu.diagnostics.multichain_ess`.
+
+        This is the bounded in-RAM window of the most recent rows (see
+        ``host_history_bytes``, default 2 GiB); ``chains_row0`` gives the
+        window start's global thinned-row index, and the complete history is
+        on disk in ``chain_all_<T>.bin`` (``ChainWriter.load_all``)."""
         if not self._chains_host:
             return np.zeros((self.nchains, 0, self.ndim))
         return np.moveaxis(np.concatenate(self._chains_host, axis=0), 0, 1)
 
     @property
+    def chains_row0(self):
+        """Global thinned-row index of ``chains``' first retained row."""
+        return self._chains_host_row0
+
+    @property
     def pooled_chain(self):
-        """All cold-chain samples pooled into one [rows * nchains, ndim]."""
+        """All cold-chain samples pooled into one [rows * nchains, ndim]
+        (same retention window as :attr:`chains`)."""
         return self.chains.reshape(-1, self.ndim)
 
     @property

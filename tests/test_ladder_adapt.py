@@ -33,6 +33,30 @@ class TestAdaptLadderUnit:
         new = adapt_ladder_betas(betas, rates, it=5, lag=100.0, time=1.0)
         np.testing.assert_allclose(np.asarray(new), np.asarray(betas), rtol=1e-5)
 
+    def test_persistent_imbalance_cannot_invert_ladder(self):
+        """Regression: with a pathological persistent rate imbalance the
+        interior rungs must never cross the fixed hottest rung (the spacings
+        are rescaled into the available span instead of overflowing it)."""
+        betas = jnp.asarray(1.0 / np.geomspace(1.0, 8.0, 4), jnp.float32)
+        rates = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)  # maximal ds forever
+        for i in range(3000):
+            betas = adapt_ladder_betas(betas, rates, it=i + 1, lag=100.0, time=5.0)
+        b = np.asarray(betas)
+        assert np.all(np.diff(b) < 0), b  # strictly descending (no inversion)
+        assert b[-2] > b[-1] > 0, b  # interior stays above the fixed top rung
+
+    def test_unproposed_pairs_do_not_move_geometry(self):
+        """DEO's not-yet-proposed pairs (rate would read 0/0) must not drive
+        spacing updates."""
+        betas = jnp.asarray(1.0 / np.geomspace(1.0, 50.0, 6), jnp.float32)
+        rates = jnp.asarray([0.8, 0.0, 0.8, 0.0, 0.0, 0.0], jnp.float32)
+        valid = jnp.asarray([True, False, True, False, False, False])
+        new = adapt_ladder_betas(
+            betas, rates, it=1, lag=100.0, time=1.0, pair_valid=valid
+        )
+        # every ds touches an invalid pair -> geometry unchanged
+        np.testing.assert_allclose(np.asarray(new), np.asarray(betas), rtol=1e-6)
+
     def test_skip_top_keeps_hot_rung(self):
         betas = jnp.asarray([1.0, 0.5, 0.2, 0.05, 0.0], jnp.float32)  # beta=0 hot chain
         rates = jnp.asarray([0.8, 0.2, 0.5, 0.0, 0.0], jnp.float32)

@@ -264,6 +264,42 @@ class TestAllChainHarvest:
         del ChainWriter
 
 
+def test_chainfile_resume_restores_per_chain_positions(tmp_path):
+    """Chain-file resume must restart every vmapped chain from ITS OWN last
+    position (chain_all sidecar), not collapse the batch onto chain 0's."""
+    import jax
+
+    outdir = str(tmp_path / "chains")
+
+    def build():
+        return PTSampler(
+            2,
+            lambda x: -0.5 * jnp.sum(x**2),
+            lambda x: jnp.where(jnp.all(jnp.abs(x) < 10.0), 0.0, -jnp.inf),
+            np.eye(2) * 0.1,
+            outDir=outdir, verbose=False, ntemps=2, nchains=8, seed=4,
+            resume=True,
+        )
+
+    import jax.numpy as jnp
+
+    s = build()
+    s.sample(np.zeros(2), 100, burn=20, thin=1, isave=50, SCAMweight=1,
+             AMweight=1, DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
+    last_per_chain = np.asarray(jax.device_get(s.state.x[0]))  # [C, D]
+    os.remove(os.path.join(outdir, "checkpoint.npz"))  # force file resume
+
+    s2 = build()
+    s2.sample(np.zeros(2), 150, burn=20, thin=1, isave=50, SCAMweight=1,
+              AMweight=1, DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
+    # The resumed window's first post-resume rows must be distinct across
+    # chains (not a broadcast of one position).
+    chains = s2.chains
+    row = chains[:, min(101, chains.shape[1] - 1), :]
+    assert not np.allclose(row, row[0]), "chains restarted degenerate"
+    del last_per_chain
+
+
 def test_resume_falls_back_on_stale_checkpoint(tmp_path):
     """A checkpoint from an older state layout (fewer leaves) must not crash
     resume; the sampler falls back to chain-file resume."""
