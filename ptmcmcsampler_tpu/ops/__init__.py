@@ -13,3 +13,4 @@ CPU tests exercise identical code.
 """
 
 from .hmc_pallas import make_hmc_pallas  # noqa: F401
+from .nuts_pallas import make_nuts_pallas  # noqa: F401

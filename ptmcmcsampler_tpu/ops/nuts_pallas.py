@@ -1,0 +1,447 @@
+"""Fused NUTS tree kernel (Pallas/TPU).
+
+Reference semantics: ``NUTSJump`` (nutsjump.py:379-840) — slice-sampling NUTS
+per Hoffman & Gelman (2011) Algorithm 6, exactly the distribution produced by
+the iterative XLA path in ``proposals/nuts.py`` (same doubling loop, same
+checkpointed per-subtree U-turn checks, same reservoir subtree sampling, same
+divergence guard ``logu - 1000 >= joint``).
+
+Why this kernel exists. The XLA path vmaps a per-chain doubly nested
+``lax.while_loop`` over the [T, C] batch; each of the up-to ``2**depth - 1``
+sequential leaf bodies round-trips the whole carry through HBM and pays many
+small-kernel dispatches, measuring ~1.3 ms *per leaf* for a [8, 1024] batch
+(PROFILE_r02.md) — ~84 ms per NUTS iteration at depth 6. This kernel runs the
+entire tree in VMEM with chains on the 128-wide lane axis (the layout of
+``ops/hmc_pallas.py``), one grid program per lane block.
+
+TPU-native structure:
+
+  * the doubling loop and every subtree leaf are **statically unrolled**
+    (depth <= 8 ⇒ <= 255 leaves). The leaf schedule is identical across
+    lanes — which leaf belongs to which subtree, whether it is a checkpoint
+    push (even index) or a U-turn check (odd index), and the stack depth
+    ``top`` are all compile-time constants — so the checkpoint "stack" is a
+    Python list of SSA values: no dynamic indexing, no scatter/gather;
+  * per-lane divergence / U-turn / completed-tree states are lane masks over
+    the static schedule (the construct validated on hardware by the HMC and
+    ChEES kernels; a dynamic trip count crashed the axon TPU worker,
+    PROFILE_r02.md);
+  * all randomness (momenta, slice exponential, per-doubling directions and
+    across-doubling accept uniforms, per-leaf reservoir uniforms) is drawn
+    *outside* with the sampler's typed keys and shipped in as kernel inputs,
+    so the kernel is a deterministic function of its inputs;
+  * dual averaging (nutsjump.py:804-816) and the one-time
+    ``find_reasonable_epsilon`` initialization (:671-682) stay outside in
+    plain XLA — they are O(T*C) scalar math. The init runs under a *scalar*
+    ``lax.cond`` at batch level (every lane initializes at the first NUTS
+    call), so later calls never trace through the search loop.
+
+Fallback: ``proposals/nuts.py`` remains the path for ``nuts_max_depth > 8``,
+trajectory capture (which re-runs the XLA kernel's exact key splits), and
+``nuts_force_trajlen``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..proposals.gradient import find_reasonable_epsilon, make_whitened_funcs
+from ..proposals.nuts import GAMMA, KAPPA, T0
+
+#: Largest tree depth the kernel unrolls (2**8 - 1 = 255 leaves).
+MAX_UNROLL_DEPTH = 8
+
+from .hmc_pallas import _LANES, _SUBLANES, _round_up
+
+
+def _trailing_ones(k: int) -> int:
+    """Trailing 1-bits of a *static* leaf index."""
+    kp = k + 1
+    return ((kp & -kp)).bit_length() - 1
+
+
+def _nuts_kernel(
+    q0_ref, r0_ref, beta_ref, eps_ref, expo_ref, dirs_ref, accu_ref, resu_ref,
+    chol_ref,
+    *rest,
+    func_grad, ndim, max_depth, const_shapes,
+):
+    const_refs = rest[: len(const_shapes)]
+    qout_ref, logp0_ref, logpprop_ref, alpha_ref, nalpha_ref = rest[len(const_shapes):]
+    consts = [r[:].reshape(s) for r, s in zip(const_refs, const_shapes)]
+
+    dp = q0_ref.shape[0]
+    bn = q0_ref.shape[1]
+    dtype = q0_ref.dtype
+    chol = chol_ref[:]
+    beta = beta_ref[0, :]
+    eps = eps_ref[0, :].reshape(1, bn)
+
+    def fgw(q):
+        """Batched tempered logp + whitened gradient, columns = chains
+        (same construction as ops/chees_pallas.py)."""
+        x = jnp.dot(chol.T, q, preferred_element_type=dtype)
+
+        if dp > ndim:
+            def one(col, b, *cs):
+                v, g = func_grad(col[:ndim], b, *cs)
+                return v, jnp.concatenate([g, jnp.zeros((dp - ndim,), g.dtype)])
+        else:
+            def one(col, b, *cs):
+                return func_grad(col, b, *cs)
+
+        vals, grads = jax.vmap(
+            one, in_axes=(1, 0) + (None,) * len(consts), out_axes=(0, 1)
+        )(x, beta, *consts)
+        gw = jnp.dot(chol, grads, preferred_element_type=dtype)
+        return vals.reshape(1, bn), gw
+
+    def rdot(a, b):  # [dp, bn] x [dp, bn] -> [1, bn]
+        return jnp.sum(a * b, axis=0, keepdims=True)
+
+    q0 = q0_ref[:]
+    r0 = r0_ref[:]
+    logp0, grad0 = fgw(q0)
+    joint0 = logp0 - 0.5 * rdot(r0, r0)
+    joint0 = jnp.where(jnp.isnan(joint0), -jnp.inf, joint0)
+    # Slice variable logu = joint0 - Exp(1) (nutsjump.py:695).
+    logu = joint0 - expo_ref[0, :].reshape(1, bn)
+
+    # Trajectory-level state (proposals/nuts.py ``init``).
+    zm, zp = q0, q0
+    rm, rp = r0, r0
+    gm, gp = grad0, grad0
+    z_prop = q0
+    logp_prop = logp0
+    n = jnp.ones((1, bn), dtype)
+    s = jnp.ones((1, bn), bool)
+    alpha = jnp.zeros((1, bn), dtype)
+    nalpha = jnp.zeros((1, bn), dtype)
+
+    gl = 0  # static global leaf counter -> reservoir-uniform row
+    for j in range(max_depth):
+        alive = s
+        v = dirs_ref[j, :].reshape(1, bn)  # +-1
+        vneg = v < 0
+        vneg_d = jnp.broadcast_to(vneg, (dp, bn))
+        veps = v * eps
+
+        # Working point = trajectory frontier in direction v.
+        z = jnp.where(vneg_d, zm, zp)
+        r = jnp.where(vneg_d, rm, rp)
+        g = jnp.where(vneg_d, gm, gp)
+
+        s_sub = alive
+        n_sub = jnp.zeros((1, bn), dtype)
+        zps = z
+        lps = jnp.full((1, bn), -jnp.inf, dtype)
+        ckz: list = [None] * (max_depth + 1)
+        ckr: list = [None] * (max_depth + 1)
+        top = 0
+
+        for k in range(1 << j):
+            active = s_sub
+            active_d = jnp.broadcast_to(active, (dp, bn))
+
+            # leapfrog with signed step (nutsjump.py:149-169)
+            rh = r + 0.5 * veps * g
+            z1 = z + veps * rh
+            logp1, g1 = fgw(z1)
+            r1 = rh + 0.5 * veps * g1
+            joint = logp1 - 0.5 * rdot(r1, r1)
+            joint = jnp.where(jnp.isnan(joint), -jnp.inf, joint)
+
+            valid = logu < joint
+            diverged = (logu - 1000.0) >= joint  # nutsjump.py:506
+
+            # Reservoir: uniform among valid leaves of this subtree.
+            n_sub = n_sub + jnp.where(active & valid, 1.0, 0.0).astype(dtype)
+            u_res = resu_ref[gl, :].reshape(1, bn)
+            take = active & valid & (u_res < 1.0 / jnp.maximum(n_sub, 1.0))
+            take_d = jnp.broadcast_to(take, (dp, bn))
+            zps = jnp.where(take_d, z1, zps)
+            lps = jnp.where(take, logp1, lps)
+
+            alpha = alpha + jnp.where(
+                active, jnp.minimum(1.0, jnp.exp(joint - joint0)), 0.0
+            ).astype(dtype)
+            nalpha = nalpha + jnp.where(active, 1.0, 0.0).astype(dtype)
+
+            # Checkpointed per-subtree U-turn scheme (proposals/nuts.py):
+            # even leaves push (z, r); odd leaves check against the
+            # trailing_ones(k) topmost checkpoints. All indices static.
+            turning = jnp.zeros((1, bn), bool)
+            if k % 2 == 0:
+                prev_z, prev_r = ckz[top], ckr[top]
+                if prev_z is None:
+                    ckz[top], ckr[top] = z1, r1
+                else:
+                    ckz[top] = jnp.where(active_d, z1, prev_z)
+                    ckr[top] = jnp.where(active_d, r1, prev_r)
+                top += 1
+            else:
+                for i in range(_trailing_ones(k)):
+                    zc, rc = ckz[top - 1 - i], ckr[top - 1 - i]
+                    dzv = v * (z1 - zc)
+                    cont_i = (rdot(dzv, rc)[0] >= 0) & (rdot(dzv, r1)[0] >= 0)
+                    turning = turning | ~cont_i.reshape(1, bn)
+                top -= _trailing_ones(k) - 1
+
+            s_sub = s_sub & ~diverged & ~turning
+            z = jnp.where(active_d, z1, z)
+            r = jnp.where(active_d, r1, r)
+            g = jnp.where(active_d, g1, g)
+            gl += 1
+
+        # Advance the frontier in direction v (masked: dead lanes keep state).
+        upd_m = jnp.broadcast_to(alive & vneg, (dp, bn))
+        upd_p = jnp.broadcast_to(alive & ~vneg, (dp, bn))
+        zm = jnp.where(upd_m, z, zm)
+        rm = jnp.where(upd_m, r, rm)
+        gm = jnp.where(upd_m, g, gm)
+        zp = jnp.where(upd_p, z, zp)
+        rp = jnp.where(upd_p, r, rp)
+        gp = jnp.where(upd_p, g, gp)
+
+        # Progressive across-doubling sample (nutsjump.py:786-791).
+        u_acc = accu_ref[j, :].reshape(1, bn)
+        accept = s_sub & (u_acc < n_sub / jnp.maximum(n, 1.0))
+        accept_d = jnp.broadcast_to(accept, (dp, bn))
+        z_prop = jnp.where(accept_d, zps, z_prop)
+        logp_prop = jnp.where(accept, lps, logp_prop)
+        n = n + n_sub  # n_sub == 0 on dead lanes by construction
+
+        # Whole-trajectory U-turn (stop_criterion, nutsjump.py:465-493).
+        dz = zp - zm
+        cont = (rdot(dz, rm) >= 0) & (rdot(dz, rp) >= 0)
+        s = alive & s_sub & cont
+
+    qout_ref[:] = z_prop
+    logp0_ref[:] = logp0
+    logpprop_ref[:] = logp_prop
+    alpha_ref[:] = alpha
+    nalpha_ref[:] = nalpha
+
+
+def fused_nuts_trees(
+    q0, r0, beta, eps, expo, dirs, accu, resu, chol,
+    *, func_grad, ndim, max_depth, block_n=512, interpret=None,
+):
+    """Run fused whitened NUTS trees for a flat chain batch.
+
+    Args:
+      q0, r0: [N, D] whitened positions / momenta.
+      beta:   [N] inverse temperatures.
+      eps:    [N] per-chain step sizes.
+      expo:   [N] Exp(1) slice draws.
+      dirs:   [N, max_depth] +-1 doubling directions.
+      accu:   [N, max_depth] across-doubling accept uniforms.
+      resu:   [N, n_leaves] per-leaf reservoir uniforms (n_leaves = 2**depth - 1).
+      chol:   [D, D] Cholesky factor of the proposal covariance.
+    Returns:
+      (q_prop [N, D], logp0 [N], logp_prop [N], alpha [N], nalpha [N]).
+    """
+    if max_depth > MAX_UNROLL_DEPTH:
+        raise ValueError(
+            f"fused_nuts_trees unrolls the leaf schedule; max_depth <= "
+            f"{MAX_UNROLL_DEPTH} required (got {max_depth})"
+        )
+    n, d = q0.shape
+    dtype = q0.dtype
+    n_leaves = max(1, (1 << max_depth) - 1)
+    dp = max(_SUBLANES, _round_up(d, _SUBLANES))
+    npad = _round_up(n, _LANES)
+    bn = min(block_n, npad)
+    npad = _round_up(npad, bn)
+
+    def pad_t(a, rows, fill=0.0):  # [N, cols<=rows] -> [rows, N_pad]
+        at = jnp.full((rows, npad), fill, dtype)
+        return jax.lax.dynamic_update_slice(at, a.T.astype(dtype), (0, 0))
+
+    def pad_row(a, fill=0.0):
+        return pad_t(a.reshape(n, 1), 1, fill)
+
+    cholp = jnp.eye(dp, dtype=dtype)
+    cholp = jax.lax.dynamic_update_slice(cholp, chol.astype(dtype), (0, 0))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Hoist jaxpr consts into kernel inputs (see hmc_pallas for rationale).
+    closed = jax.make_jaxpr(func_grad)(jnp.zeros((d,), dtype), jnp.zeros((), dtype))
+    consts = closed.consts
+
+    def fg_conv(x_col, b, *cs):
+        val, grad = jax.core.eval_jaxpr(closed.jaxpr, cs, x_col, b)
+        return val, grad
+
+    const_shapes = tuple(tuple(np.shape(c)) for c in consts)
+    const_in = [jnp.asarray(c).reshape(1, max(1, int(np.size(c)))) for c in consts]
+
+    kern = functools.partial(
+        _nuts_kernel, func_grad=fg_conv, ndim=d, max_depth=int(max_depth),
+        const_shapes=const_shapes,
+    )
+    grid = (npad // bn,)
+    col_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, bn), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    def rep_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    q_prop, logp0, logp_prop, alpha, nalpha = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            col_spec(dp), col_spec(dp), col_spec(1), col_spec(1), col_spec(1),
+            col_spec(max_depth), col_spec(max_depth), col_spec(n_leaves),
+            rep_spec((dp, dp)),
+        ]
+        + [rep_spec(c.shape) for c in const_in],
+        out_specs=[col_spec(dp), col_spec(1), col_spec(1), col_spec(1), col_spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((dp, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
+        ],
+        interpret=interpret,
+    )(
+        pad_t(q0, dp),
+        pad_t(r0, dp),
+        pad_row(beta, 1.0),
+        # padded lanes: eps 0 -> identity leapfrogs, harmless
+        pad_row(eps, 0.0),
+        pad_row(expo, 0.0),
+        pad_t(dirs, max_depth, 1.0),
+        pad_t(accu, max_depth, 1.0),
+        pad_t(resu, n_leaves, 1.0),
+        cholp,
+        *const_in,
+    )
+    return (
+        q_prop[:d, :n].T, logp0[0, :n], logp_prop[0, :n],
+        alpha[0, :n], nalpha[0, :n],
+    )
+
+
+def make_nuts_pallas(config, func_grad, interpret=None):
+    """Batch-level NUTS branch backed by the fused Pallas tree kernel.
+
+    Signature matches the batched branch protocol of
+    ``proposals.cycle.build_jump_branches``:
+        nuts_batch(keys[T,C], x[T,C,D], betas[T], it, ctx, ss) ->
+            (q[T,C,D], qxy[T,C], new_ss)
+
+    Semantics match ``proposals.nuts.make_nuts`` (same tree law, same dual
+    averaging); the key-split layout differs (randomness is pre-drawn as
+    batched arrays), so the two paths are compared statistically, not bitwise
+    (tests/test_pallas_nuts.py).
+    """
+    ndim = config.ndim
+    max_depth = config.nuts_max_depth
+    n_leaves = max(1, (1 << max_depth) - 1)
+    delta = config.nuts_delta
+    force_eps = config.nuts_force_epsilon
+    nburn = config.burn
+    forward, backward, fgw = make_whitened_funcs(func_grad)
+
+    def nuts_batch(keys, x, betas, it, ctx, ss):
+        t, c, d = x.shape
+        nn = t * c
+        dt = x.dtype
+        kflat = keys.reshape(nn)
+        kk = jax.vmap(lambda k: tuple(jax.random.split(k, 6)))(kflat)
+        k_eps, k_mom, k_slice, k_dir, k_acc, k_res = kk
+
+        r0 = jax.vmap(lambda k: jax.random.normal(k, (d,), dtype=dt))(k_mom)
+        expo = jax.vmap(lambda k: jax.random.exponential(k, dtype=dt))(k_slice)
+        dirs = jnp.where(
+            jax.vmap(lambda k: jax.random.uniform(k, (max_depth,), dtype=dt))(k_dir)
+            < 0.5,
+            -1.0,
+            1.0,
+        ).astype(dt)
+        accu = jax.vmap(lambda k: jax.random.uniform(k, (max_depth,), dtype=dt))(k_acc)
+        resu = jax.vmap(lambda k: jax.random.uniform(k, (n_leaves,), dtype=dt))(k_res)
+
+        xf = x.reshape(nn, d)
+        q0 = xf @ ctx.chol_inv  # rows: forward whitening chol_inv.T @ x
+        beta = jnp.repeat(betas, c)
+
+        # Step-size initialization (nutsjump.py:671-682) under a *scalar*
+        # cond: all lanes initialize together at the first NUTS call, so the
+        # search loops are only executed then — unlike a vmapped per-lane
+        # cond, which lowers to select and runs both branches every call.
+        eps_state = ss["epsilon"].reshape(nn).astype(dt)
+        if force_eps is not None:
+            epsilon = jnp.full((nn,), force_eps, dt)
+            mu = jnp.log(10.0 * epsilon)
+        else:
+            need = jnp.any(eps_state <= 0)
+
+            def init_eps(_):
+                def one(k, q, b):
+                    logp0, grad0 = fgw(ctx, q, b)
+                    return find_reasonable_epsilon(k, fgw, ctx, b, q, grad0, logp0)
+
+                return jax.vmap(one)(k_eps, q0, beta)
+
+            eps_init = jax.lax.cond(need, init_eps, lambda _: eps_state, None)
+            epsilon = jnp.where(eps_state <= 0, eps_init, eps_state)
+            mu = jnp.where(
+                eps_state <= 0, jnp.log(10.0 * epsilon), ss["mu"].reshape(nn).astype(dt)
+            )
+
+        q_prop, logp0, logp_prop, alpha, nalpha = fused_nuts_trees(
+            q0, r0, beta, epsilon, expo, dirs, accu, resu, ctx.chol,
+            func_grad=func_grad, ndim=ndim, max_depth=max_depth,
+            interpret=interpret,
+        )
+
+        xq = q_prop @ ctx.chol  # rows: backward chol.T @ q
+        qxy = (logp0 - logp_prop).astype(dt)
+        qxy = jnp.where(jnp.isnan(qxy), -jnp.inf, qxy)
+
+        # Dual averaging (nutsjump.py:804-816) — identical equations and
+        # constants to proposals/nuts.py, vectorized over the batch.
+        new_ss = dict(ss)
+        ncalls = ss["ncalls"] + 1.0
+        new_ss["ncalls"] = ncalls
+        new_ss["mu"] = mu.reshape(t, c).astype(ss["mu"].dtype)
+        if force_eps is not None:
+            e = epsilon.reshape(t, c).astype(ss["epsilon"].dtype)
+            new_ss["epsilon"] = e
+            new_ss["epsilonbar"] = e
+        else:
+            alpha2 = alpha.reshape(t, c).astype(ss["hbar"].dtype)
+            nalpha2 = jnp.maximum(nalpha.reshape(t, c), 1.0).astype(ss["hbar"].dtype)
+            eta = 1.0 / (ncalls + T0)
+            hbar = (1.0 - eta) * ss["hbar"] + eta * (delta - alpha2 / nalpha2)
+            in_burn = it <= nburn
+            mu2 = mu.reshape(t, c).astype(ss["hbar"].dtype)
+            eps_burn = jnp.exp(mu2 - jnp.sqrt(ncalls) / GAMMA * hbar)
+            eta2 = ncalls**-KAPPA
+            epsbar_burn = jnp.exp(
+                (1.0 - eta2) * jnp.log(jnp.maximum(ss["epsilonbar"], 1e-30))
+                + eta2 * jnp.log(eps_burn)
+            )
+            new_ss["hbar"] = hbar
+            new_ss["epsilon"] = jnp.where(in_burn, eps_burn, ss["epsilonbar"]).astype(
+                ss["epsilon"].dtype
+            )
+            new_ss["epsilonbar"] = jnp.where(
+                in_burn, epsbar_burn, ss["epsilonbar"]
+            ).astype(ss["epsilonbar"].dtype)
+
+        return xq.reshape(t, c, d), qxy.reshape(t, c), new_ss
+
+    return nuts_batch

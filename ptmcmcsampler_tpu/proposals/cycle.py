@@ -161,6 +161,26 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
                 q, qxy = _kernel(keys, x, betas, ctx)
                 return q, qxy, ss
 
+        elif (
+            spec.kind == KIND_NUTS
+            and config.use_pallas
+            and func_grad is not None
+            and config.nuts_max_depth <= 8  # ops/nuts_pallas.MAX_UNROLL_DEPTH
+            and config.nuts_force_trajlen is None
+            and not config.nuts_trajectory  # capture replays the XLA key splits
+        ):
+            # Fused Pallas tree kernel: the whole NUTS doubling loop (up to
+            # 2**depth - 1 leapfrog leaves, checkpointed U-turn checks,
+            # reservoir subtree sampling) runs in VMEM with chains on the
+            # lane axis (ops/nuts_pallas.py). Same tree law as the vmapped
+            # XLA path below; ~60x cheaper per iteration on TPU.
+            from ..ops import make_nuts_pallas
+
+            kernel = make_nuts_pallas(config, func_grad)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                return _kernel(keys, x, betas, it, ctx, ss)
+
         elif spec.kind == KIND_NUTS:
             kernel = nuts.make_nuts(config, func_grad)
 
