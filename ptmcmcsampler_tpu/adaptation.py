@@ -37,12 +37,16 @@ def welford_batch_update(adapt: AdaptState, xs: jax.Array) -> AdaptState:
     centered = xs - batch_mean
     batch_m2 = centered.T @ centered  # [D, D] — MXU
     delta = batch_mean - adapt.mean
-    new_count = n + nf
+    # Kahan-compensated count increment: exact integer accumulation long
+    # after plain f32 would saturate (ulp > batch size near 3e10 samples).
+    y = nf - adapt.count_err
+    new_count = n + y
+    new_err = (new_count - n) - y
     mean = adapt.mean + delta * (nf / new_count)
     m2 = adapt.m2 + batch_m2.astype(adapt.m2.dtype) + jnp.outer(delta, delta) * (
         n * nf / new_count
     ).astype(adapt.m2.dtype)
-    return adapt.replace(mean=mean, m2=m2, count=new_count)
+    return adapt.replace(mean=mean, m2=m2, count=new_count, count_err=new_err)
 
 
 def _padded_eigh(sub: jax.Array):

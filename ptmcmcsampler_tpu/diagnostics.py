@@ -99,36 +99,37 @@ def multichain_ess(chains):
     """
     chains = np.asarray(chains, dtype=np.float64)
     m, n, d = chains.shape
-    ess = np.empty(d)
-    for k in range(d):
-        x = chains[:, :, k]
-        chain_means = x.mean(axis=1)
-        chain_vars = x.var(axis=1, ddof=1)
-        w = chain_vars.mean()
-        b = n * chain_means.var(ddof=1) if m > 1 else 0.0
-        var_plus = w * (n - 1) / n + b / n if m > 1 else w * (n - 1) / n
-        if var_plus <= 0 or not np.isfinite(var_plus):
-            ess[k] = float(m * n)
-            continue
-        # Mean autocovariance across chains.
-        acov = np.zeros(n)
-        for j in range(m):
-            f = autocorr_function(x[j])
-            acov += f * chain_vars[j] * (n - 1) / n
-        acov /= m
-        rho = 1.0 - (w - acov) / var_plus
-        # Geyer initial-positive + initial-monotone sequence over pair sums
-        # P_t = rho[2t] + rho[2t+1]; tau = -1 + 2 * sum(P_t).
-        npairs = n // 2
-        prev = np.inf
-        s = 0.0
-        for t in range(npairs):
-            pair = rho[2 * t] + (rho[2 * t + 1] if 2 * t + 1 < n else 0.0)
-            if pair < 0:
-                break
-            pair = min(pair, prev)
-            prev = pair
-            s += pair
-        tau = max(1.0, -1.0 + 2.0 * s)
-        ess[k] = m * n / tau
-    return ess
+    if n < 2:
+        return np.full(d, float(m * n))
+    chain_means = chains.mean(axis=1)  # [m, d]
+    chain_vars = chains.var(axis=1, ddof=1)  # [m, d]
+    w = chain_vars.mean(axis=0)  # [d]
+    b = n * chain_means.var(axis=0, ddof=1) if m > 1 else np.zeros(d)
+    var_plus = w * (n - 1) / n + b / n
+    # One batched rFFT over all m*d series at once (the per-series Python
+    # loop this replaces cost thousands of sequential FFTs per neff check
+    # at production chain counts).
+    nfft = 2 * _next_pow_two(n)
+    xc = chains - chain_means[:, None, :]
+    f = np.fft.rfft(xc, n=nfft, axis=1)
+    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n, :]  # [m, n, d]
+    acf0 = acf[:, :1, :]
+    # Per-chain normalized ACF (constant chains fall back to 1s, matching
+    # autocorr_function), scaled to autocovariance and averaged over chains.
+    ok0 = acf0 > 0
+    fnorm = np.where(ok0, acf / np.where(ok0, acf0, 1.0), 1.0)
+    acov = (fnorm * (chain_vars * (n - 1) / n)[:, None, :]).mean(axis=0)  # [n, d]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = 1.0 - (w - acov) / var_plus  # [n, d]
+    # Geyer initial-positive + initial-monotone sequence over pair sums
+    # P_t = rho[2t] + rho[2t+1]; tau = -1 + 2 * sum(P_t). Vectorized:
+    # the "break at first negative pair" is a cumulative-product mask and
+    # the running minimum is minimum.accumulate.
+    npairs = n // 2
+    pair = rho[0 : 2 * npairs : 2] + rho[1 : 2 * npairs : 2]  # [npairs, d]
+    included = np.cumprod(pair >= 0, axis=0).astype(bool)
+    mono = np.minimum.accumulate(pair, axis=0)
+    s = np.where(included, mono, 0.0).sum(axis=0)
+    tau = np.maximum(1.0, -1.0 + 2.0 * s)
+    ess = m * n / tau
+    return np.where(np.isfinite(var_plus) & (var_plus > 0), ess, float(m * n))

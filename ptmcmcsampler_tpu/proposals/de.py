@@ -22,10 +22,12 @@ def make_de(config):
         kg, km, kn, kp, ku = jax.random.split(key, 5)
         nvalid = jnp.maximum(ctx.de_valid, 2)
         mm = jax.random.randint(km, (), 0, nvalid)
-        nn = jax.random.randint(kn, (), 0, nvalid)
-        # The reference redraws until distinct (:963-966); remapping to the
-        # next row preserves the symmetric two-distinct-rows pair law.
-        nn = jnp.where(nn == mm, (nn + 1) % nvalid, nn)
+        # The reference redraws until distinct (:963-966), i.e. uniform over
+        # ordered distinct pairs. Drawing nn over nvalid-1 and shifting past mm
+        # reproduces that law exactly (a +1%nvalid collision remap would make
+        # the pair (i, i+1) twice as likely as (i+1, i)).
+        nn = jax.random.randint(kn, (), 0, nvalid - 1)
+        nn = nn + (nn >= mm)
         prob = jax.random.uniform(kp)
         # sqrt(1/beta) per the reference (:976); the hot chain's beta->0 is
         # clamped so f32 stays finite (reference would produce 1e40).

@@ -693,16 +693,20 @@ class PTSampler:
 
         writer.write_cov(jax.device_get(state.adapt.cov))
         w, _ = config.weights_and_activation()
+        # Per-jump rates pooled over ALL cold chains (every chain at beta=1
+        # targets the same distribution, so the pooled rate is the same
+        # statistic the reference's rank-0 file reports but computed from
+        # nchains x more data; reference format unchanged).
         writer.write_jump_stats(
             config.jump_names(), w,
-            np.asarray(ctr.jump_proposed)[:, 0, 0],
-            np.asarray(ctr.jump_accepted)[:, 0, 0],
+            np.asarray(ctr.jump_proposed)[:, 0, :].sum(axis=1),
+            np.asarray(ctr.jump_accepted)[:, 0, :].sum(axis=1),
         )
 
         if self.verbose:
             sys.stdout.write("\r")
             percent = it / Niter * 100
-            acceptance = float(ctr.naccepted[0, 0]) / max(it, 1)
+            acceptance = float(np.asarray(ctr.naccepted)[0].mean()) / max(it, 1)
             elapsed = time.time() - tstart
             sys.stdout.write(
                 "Finished %2.2f percent in %f s Acceptance rate = %g"
@@ -735,6 +739,11 @@ class PTSampler:
         rows = data.shape[0]
         if self.verbose:
             print("Resuming run from chain file {0}".format(writer.fnames[0]))
+            print(
+                "WARNING: no usable full-state checkpoint found - adaptive "
+                "state (covariance, DE buffer, step sizes, ladder) restarts "
+                "from its initial values and will re-burn in."
+            )
         if isave != thin and rows % (isave / thin) != 1:  # reference :301-309
             raise RuntimeError(
                 "Old chain has {0} rows, which is not the initial sample plus "

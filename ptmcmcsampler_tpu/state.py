@@ -24,7 +24,12 @@ class AdaptState:
 
     mean: jax.Array  # [D] running mean (Welford mu)
     m2: jax.Array  # [D, D] running scatter (Welford M2)
-    count: jax.Array  # scalar f32: samples consumed
+    # Samples consumed, as a Kahan-compensated f32 pair: f32 alone stops
+    # incrementing once ulp(count) exceeds the per-update batch size
+    # (~3e10 samples at 4096 chains/iter); the compensation term keeps the
+    # integer sum exact far beyond any run length without requiring x64.
+    count: jax.Array  # scalar f32
+    count_err: jax.Array  # scalar f32 Kahan compensation
     cov: jax.Array  # [D, D] current proposal covariance
     group_u: tuple  # per-group eigenvectors, shapes [(sg, sg), ...]
     group_s: tuple  # per-group eigenvalues, shapes [(sg,), ...]
@@ -119,6 +124,7 @@ def init_adapt_state(config: SamplerConfig, cov0: np.ndarray) -> AdaptState:
         mean=jnp.zeros((d,), dt),
         m2=jnp.zeros((d, d), dt),
         count=jnp.zeros((), jnp.float32),
+        count_err=jnp.zeros((), jnp.float32),
         cov=jnp.asarray(cov0, dtype=dt),
         group_u=tuple(group_u),
         group_s=tuple(group_s),
