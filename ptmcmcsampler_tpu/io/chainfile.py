@@ -102,67 +102,129 @@ class ChainWriter:
     # harvested into an appendable raw-float32 sidecar per temperature,
     # ``chain_all_<temp>.bin`` + ``.json`` metadata.
 
-    def _all_paths(self, i):
+    def _all_paths(self, i, cstart=None):
         base = os.path.splitext(os.path.basename(self.fnames[i]))[0]
         stem = os.path.join(self.outdir, base.replace("chain_", "chain_all_"))
+        if cstart is not None:
+            stem = stem + ".c{0}".format(int(cstart))
         return stem + ".bin", stem + ".json"
 
-    def reset_all(self, i, nchains, ndim):
+    def reset_all(self, i, nchains, ndim, cstart=None, nchains_total=None):
         if not self._writes_temp(i):
             return
-        binf, metaf = self._all_paths(i)
+        binf, metaf = self._all_paths(i, cstart)
         open(binf, "wb").close()
+        meta = {"nchains": int(nchains), "ndim": int(ndim), "dtype": "float32"}
+        if cstart is not None:
+            # Part file written by the process owning chains
+            # [cstart, cstart + nchains) of a multi-process run.
+            meta["chain_offset"] = int(cstart)
+            meta["nchains_total"] = int(nchains_total)
         with open(metaf, "w") as f:
-            json.dump({"nchains": int(nchains), "ndim": int(ndim), "dtype": "float32"}, f)
+            json.dump(meta, f)
 
-    def append_all(self, i, block):
-        """Append thinned rows for every chain: block [rows, nchains, ndim]."""
+    def append_all(self, i, block, cstart=None, nchains_total=None):
+        """Append thinned rows: block [rows, nchains_local, ndim].
+
+        ``cstart`` (multi-process) appends to this process's part file
+        ``chain_all_<T>.c<cstart>.bin`` instead of the base sidecar.
+        """
         if not self._writes_temp(i):
             return
-        binf, metaf = self._all_paths(i)
+        binf, metaf = self._all_paths(i, cstart)
         if not os.path.isfile(metaf):  # e.g. resuming a pre-existing run dir
+            meta = {"nchains": int(block.shape[1]), "ndim": int(block.shape[2]),
+                    "dtype": "float32"}
+            if cstart is not None:
+                meta["chain_offset"] = int(cstart)
+                meta["nchains_total"] = int(nchains_total)
             with open(metaf, "w") as f:
-                json.dump(
-                    {"nchains": int(block.shape[1]), "ndim": int(block.shape[2]),
-                     "dtype": "float32"}, f,
-                )
+                json.dump(meta, f)
         with open(binf, "ab") as f:
             f.write(np.ascontiguousarray(block, dtype=np.float32).tobytes())
+
+    def _part_metas(self, i):
+        """Metadata for every part sidecar of temperature ``i`` (may be [])."""
+        import glob
+
+        base_bin, _ = self._all_paths(i)
+        stem = base_bin[: -len(".bin")]
+        parts = []
+        for metaf in sorted(glob.glob(stem + ".c*.json")):
+            with open(metaf) as f:
+                meta = json.load(f)
+            binf = metaf[: -len(".json")] + ".bin"
+            if os.path.isfile(binf):
+                parts.append((binf, meta))
+        return parts
 
     def all_rows_count(self, i):
         """Number of rows currently in the all-chain sidecar (0 if absent)."""
         binf, metaf = self._all_paths(i)
-        if not (os.path.isfile(binf) and os.path.isfile(metaf)):
+        if os.path.isfile(binf) and os.path.isfile(metaf):
+            with open(metaf) as f:
+                meta = json.load(f)
+            row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
+                meta.get("dtype", "float32")
+            ).itemsize
+            return os.path.getsize(binf) // max(row_bytes, 1)
+        parts = self._part_metas(i)
+        if not parts:
             return 0
-        with open(metaf) as f:
-            meta = json.load(f)
-        row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
-            meta.get("dtype", "float32")
-        ).itemsize
-        return os.path.getsize(binf) // max(row_bytes, 1)
+        counts = []
+        for pbin, meta in parts:
+            row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
+                meta.get("dtype", "float32")
+            ).itemsize
+            counts.append(os.path.getsize(pbin) // max(row_bytes, 1))
+        return min(counts)
+
+    @staticmethod
+    def _read_tail(binf, rows_avail, take, c, d, dtype):
+        row_bytes = c * d * dtype.itemsize
+        with open(binf, "rb") as f:
+            f.seek((rows_avail - take) * row_bytes)
+            raw = np.frombuffer(f.read(take * row_bytes), dtype=dtype)
+        return raw.reshape(take, c, d)
 
     def load_all(self, i, tail_rows=None):
         """All-chain thinned history [rows, nchains, ndim] (or None).
 
         ``tail_rows`` reads only the last N rows (seek-based — a resume on a
-        huge run never has to materialize the whole file in RAM).
+        huge run never has to materialize the whole file in RAM). If the base
+        sidecar is absent, per-process part files from a multi-process run
+        are merged on their recorded chain offsets.
         """
         binf, metaf = self._all_paths(i)
-        if not (os.path.isfile(binf) and os.path.isfile(metaf)):
+        if os.path.isfile(binf) and os.path.isfile(metaf):
+            with open(metaf) as f:
+                meta = json.load(f)
+            c, d = meta["nchains"], meta["ndim"]
+            dtype = np.dtype(meta.get("dtype", "float32"))
+            rows = os.path.getsize(binf) // (c * d * dtype.itemsize)
+            if rows == 0:
+                return None
+            take = rows if tail_rows is None else min(int(tail_rows), rows)
+            return self._read_tail(binf, rows, take, c, d, dtype)
+        parts = self._part_metas(i)
+        if not parts:
             return None
-        with open(metaf) as f:
-            meta = json.load(f)
-        c, d = meta["nchains"], meta["ndim"]
-        dtype = np.dtype(meta.get("dtype", "float32"))
-        row_bytes = c * d * dtype.itemsize
-        rows = os.path.getsize(binf) // row_bytes
+        total = parts[0][1].get("nchains_total")
+        if total is None:
+            return None
+        d = parts[0][1]["ndim"]
+        rows = self.all_rows_count(i)
         if rows == 0:
             return None
         take = rows if tail_rows is None else min(int(tail_rows), rows)
-        with open(binf, "rb") as f:
-            f.seek((rows - take) * row_bytes)
-            raw = np.frombuffer(f.read(take * row_bytes), dtype=dtype)
-        return raw.reshape(take, c, d)
+        out = np.full((take, total, d), np.nan, np.float32)
+        for pbin, meta in parts:
+            c = meta["nchains"]
+            dtype = np.dtype(meta.get("dtype", "float32"))
+            avail = os.path.getsize(pbin) // (c * d * dtype.itemsize)
+            off = meta["chain_offset"]
+            out[:, off : off + c] = self._read_tail(pbin, avail, take, c, d, dtype)
+        return out
 
     def write_cov(self, cov):
         np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))

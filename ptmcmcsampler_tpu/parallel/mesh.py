@@ -72,6 +72,37 @@ def shard_state(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
     return jax.device_put(state, sharding)
 
 
+def host_local_block(arr):
+    """Assemble this process's addressable region of a sharded array.
+
+    Returns ``(block, index)`` where ``index`` is a list of sorted global
+    index arrays, one per dimension; the local region is their cartesian
+    product (true for any NamedSharding grid over a mesh: each process's
+    shards tile a sub-box of the global array). The multi-process analogue of
+    an MPI rank's local chain for host-side I/O (PTMCMCSampler.py:341-372 —
+    each rank writes the rows it owns).
+    """
+    shards = arr.addressable_shards
+    nd = arr.ndim
+    sets = [set() for _ in range(nd)]
+    for s in shards:
+        for d, sl in enumerate(s.index):
+            start = sl.start if sl.start is not None else 0
+            stop = sl.stop if sl.stop is not None else arr.shape[d]
+            sets[d].update(range(start, stop))
+    index = [np.array(sorted(si), dtype=np.int64) for si in sets]
+    offsets = [{int(g): k for k, g in enumerate(i)} for i in index]
+    block = np.empty([len(i) for i in index], dtype=arr.dtype)
+    for s in shards:
+        data = np.asarray(s.data)
+        starts = []
+        for d, sl in enumerate(s.index):
+            start = sl.start if sl.start is not None else 0
+            starts.append(offsets[d][int(start)])
+        block[tuple(slice(st, st + data.shape[d]) for d, st in enumerate(starts))] = data
+    return block, index
+
+
 def shard_state_global(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None):
     """Place host-replicated state onto a (possibly multi-process) mesh.
 

@@ -42,7 +42,12 @@ from .io.chainfile import ChainWriter
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .kernel import build_step
 from .ladder import ladder_betas, temperature_ladder
-from .parallel.mesh import make_temp_mesh, shard_state, shard_state_global
+from .parallel.mesh import (
+    host_local_block,
+    make_temp_mesh,
+    shard_state,
+    shard_state_global,
+)
 from .state import init_state
 
 
@@ -318,7 +323,7 @@ class PTSampler:
 
     def _build_config(
         self, weights, burn, tskip, cov_update, thin, hmc_kwargs,
-        nuts_trajectory=False, ladder_kwargs=None,
+        nuts_trajectory=False, ladder_kwargs=None, mass_adapt=False,
     ):
         have_grads = self._logl_grad_fn is not None
         jumps = list(
@@ -356,6 +361,7 @@ class PTSampler:
             hmc_nminsteps=hmc_kwargs.get("nminsteps", 2),
             hmc_nmaxsteps=hmc_kwargs.get("nmaxsteps", 300),
             nuts_trajectory=nuts_trajectory,
+            mass_adapt=mass_adapt,
             **(ladder_kwargs or {}),
         )
 
@@ -404,6 +410,7 @@ class PTSampler:
         adaptLadder=False,
         ladderAdaptLag=10000.0,
         ladderAdaptTime=100.0,
+        massAdapt=False,
     ):
         """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
         del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
@@ -434,6 +441,12 @@ class PTSampler:
             weights, burn, Tskip, covUpdate,
             thin, dict(stepsize=HMCstepsize, nminsteps=2, nmaxsteps=HMCsteps),
             nuts_trajectory=trajectoryDir is not None,
+            # massAdapt=True refreshes the gradient jumps' whitening
+            # (mass-matrix) Cholesky from the adapted covariance at every
+            # covUpdate — the working version of the reference's dormant
+            # ``update_cf`` (nutsjump.py:56-69, calls commented out at
+            # :210-215, :261-265, :684-688).
+            mass_adapt=bool(massAdapt),
             ladder_kwargs=dict(
                 adapt_ladder=bool(adaptLadder),
                 ladder_adapt_lag=float(ladderAdaptLag),
@@ -449,7 +462,12 @@ class PTSampler:
             self._traj_writer = None
         self.config = config
         if MALAweight and self._logl_grad_fn is not None and self.verbose:
-            print("WARNING: MALA jumps are not working properly yet")  # :230-231
+            # The reference warns "MALA jumps are not working properly yet"
+            # (:230-231) because its qxy misses the Gaussian normalization;
+            # this implementation uses the corrected density ratio
+            # (tests/test_gradient_jumps.py proves N(0,1) stationarity).
+            print("NOTE: using corrected MALA density ratio "
+                  "(reference MALA is known-broken)")
 
         mesh = self._resolve_mesh()
         step, run_block = build_step(
@@ -470,12 +488,28 @@ class PTSampler:
         lp_arr = None
 
         self._key, init_key = jax.random.split(self._key)
+        # Multi-process run (the reference's ``mpirun -np N`` launch model,
+        # README.md:40-46): every process executes this same driver; file
+        # creation/truncation happens on process 0 only (shared outDir, like
+        # the reference's rank-0-managed files), then all processes sync
+        # before appending to the files whose (temperature, chain-0) block
+        # they own.
+        self._multi = jax.process_count() > 1
+        pid = jax.process_index()
         writer = ChainWriter(
             self.outDir, self.ladder, hot_chain=hotChain,
-            write_hot_chains=writeHotChains, resume=self.resume,
+            write_hot_chains=writeHotChains,
+            resume=self.resume or (self._multi and pid != 0),
         )
-        writer.init_jump_files(config.jump_names(), resume=self.resume)
+        writer.init_jump_files(
+            config.jump_names(), resume=self.resume or (self._multi and pid != 0)
+        )
+        if self._multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ptmcmc-writer-init")
         self._writer = writer
+        self._sidecar_reset = set()
 
         ckpt_path = os.path.join(self.outDir, "checkpoint.npz")
         start_iter = 0
@@ -501,6 +535,20 @@ class PTSampler:
             self._lnlike_host = [utils.host_array(state.lnlike[0, 0])[None]]
             self._lnprob_host = [lnprob0[0, 0][None]]
             for ti in range(self.ntemps):
+                if self._multi:
+                    # Sidecars become per-process part files, reset lazily by
+                    # their owners at the first drain; process 0 writes the
+                    # initial text row (reference :489-491) for every temp.
+                    if pid == 0:
+                        writer.append(
+                            ti,
+                            x_host[ti, 0][None],
+                            np.array([lnprob0[ti, 0]]),
+                            np.array([utils.host_array(state.lnlike[ti, 0])]),
+                            np.array([0.0]),
+                            np.array([1.0]),
+                        )
+                    continue
                 writer.reset_all(ti, self.nchains, self.ndim)
                 writer.append(
                     ti,
@@ -513,6 +561,26 @@ class PTSampler:
                 writer.append_all(ti, x_host[ti][None])
 
         state = self._place_on_mesh(state)
+        if self._multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            # Replicated-output reductions for pooled statistics and the
+            # full-state checkpoint: compiled once per run, executed
+            # collectively by every process each drain (the SPMD analogue of
+            # the reference's gathers to rank 0, PTMCMCSampler.py:660-661).
+            self._pooled_stats_fn = jax.jit(
+                lambda s: (
+                    s.counters.jump_proposed[:, 0, :].sum(axis=1),
+                    s.counters.jump_accepted[:, 0, :].sum(axis=1),
+                    s.counters.naccepted[0].astype(jnp.float32).mean(),
+                ),
+                out_shardings=(rep, rep, rep),
+            )
+            self._replicate_fn = jax.jit(
+                lambda s: s,
+                out_shardings=jax.tree_util.tree_map(lambda _: rep, state),
+            )
         self.state = state
         self.Niter = Niter
         tstart = time.time()
@@ -563,10 +631,34 @@ class PTSampler:
                     message = "\nRun Complete with {0} effective samples".format(int(n_eff))
                     run_complete = True
 
-            save_checkpoint(
-                ckpt_path, state,
-                meta=dict(iter=int(it), niter=int(Niter), thin=int(thin), isave=int(isave)),
-            )
+            if self._multi:
+                from jax.experimental import multihost_utils
+
+                # The neff decision is made from host history only the
+                # (temp 0, chain 0)-owning process holds; agree on the stop
+                # flag collectively (reference ``comm.bcast(runComplete)``,
+                # PTMCMCSampler.py:523) so no process keeps issuing the
+                # collective step program alone.
+                flags = multihost_utils.process_allgather(
+                    np.asarray([bool(run_complete)])
+                )
+                run_complete = bool(np.any(flags))
+                # Checkpoint: all-gather the sharded leaves into a replicated
+                # copy (collective, so every process participates), then only
+                # process 0 writes the file on the shared outDir.
+                rep_state = self._replicate_fn(state)
+                if jax.process_index() == 0:
+                    save_checkpoint(
+                        ckpt_path, rep_state,
+                        meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
+                                  isave=int(isave)),
+                    )
+            else:
+                save_checkpoint(
+                    ckpt_path, state,
+                    meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
+                              isave=int(isave)),
+                )
 
         if profile_dir is not None:
             jax.profiler.stop_trace()
@@ -628,8 +720,94 @@ class PTSampler:
             return shard_state_global(state, mesh, axis=t_ax, chain_axis=c_ax)
         return shard_state(state, mesh, axis=t_ax, chain_axis=c_ax)
 
+    def _drain_block_multi(self, state, out, it, tstart, Niter, writer, config):
+        """Multi-process block drain: each process writes the files for the
+        (temperature, chain) block its addressable shards own — the analogue
+        of one chain file per MPI rank (PTMCMCSampler.py:341-372) — and
+        pooled statistics come from collective replicated-output reductions.
+        """
+        x, (_, tids, cids, _) = host_local_block(out.x)  # [rows, Tl, Cl, D]
+        lnlike, _ = host_local_block(out.lnlike)
+        lnprob, _ = host_local_block(out.lnprob)
+        nacc, _ = host_local_block(out.naccepted)
+        sacc, _ = host_local_block(out.swaps_accepted)
+        sprop, _ = host_local_block(out.swaps_proposed)  # [rows, Tl]
+        its = np.asarray(jax.device_get(out.it)).astype(np.int64)  # replicated
+        rows = x.shape[0]
+        denom = np.maximum(its, 1).astype(np.float64)
+        cpos = {int(g): k for k, g in enumerate(cids)}
+        own_chain0 = 0 in cpos
+        c0 = cpos.get(0, 0)
+        full_c = len(cids) == self.nchains
+        cstart = None if full_c else int(cids[0])
+
+        if own_chain0 and 0 in {int(t) for t in tids}:
+            lt0 = [int(t) for t in tids].index(0)
+            self._chain_host.append(x[:, lt0, c0, :])
+            self._chains_host.append(x[:, lt0, :, :])
+            self._lnlike_host.append(lnlike[:, lt0, c0])
+            self._lnprob_host.append(lnprob[:, lt0, c0])
+            cap_rows = max(
+                1, self._host_history_bytes // max(1, len(cids) * self.ndim * 4)
+            )
+            total_rows = sum(b.shape[0] for b in self._chains_host)
+            while total_rows > cap_rows and len(self._chains_host) > 1:
+                dropped = self._chains_host.pop(0)
+                self._chains_host_row0 += dropped.shape[0]
+                total_rows -= dropped.shape[0]
+
+        for lt, ti in enumerate(int(t) for t in tids):
+            if own_chain0:
+                acc_rate = nacc[:, lt, c0] / denom
+                if ti < self.ntemps - 1:
+                    pt_acc = np.where(
+                        sprop[:, lt] > 0,
+                        sacc[:, lt, c0] / np.maximum(sprop[:, lt], 1),
+                        1.0,
+                    )
+                else:
+                    pt_acc = np.ones(rows)
+                writer.append(
+                    ti, x[:, lt, c0, :], lnprob[:, lt, c0], lnlike[:, lt, c0],
+                    acc_rate, pt_acc,
+                )
+            if ti not in self._sidecar_reset:
+                self._sidecar_reset.add(ti)
+                if not self.resume:
+                    writer.reset_all(
+                        ti, len(cids), self.ndim, cstart=cstart,
+                        nchains_total=self.nchains,
+                    )
+            writer.append_all(
+                ti, x[:, lt, :, :], cstart=cstart, nchains_total=self.nchains
+            )
+
+        # Collective pooled statistics (every process must execute this).
+        jp, ja, mean_acc = self._pooled_stats_fn(state)
+        if jax.process_index() == 0:
+            writer.write_cov(np.asarray(jax.device_get(state.adapt.cov)))
+            w, _ = config.weights_and_activation()
+            writer.write_jump_stats(
+                config.jump_names(), w,
+                np.asarray(jax.device_get(jp)), np.asarray(jax.device_get(ja)),
+            )
+            if self.verbose:
+                sys.stdout.write("\r")
+                percent = it / Niter * 100
+                acceptance = float(jax.device_get(mean_acc)) / max(it, 1)
+                elapsed = time.time() - tstart
+                sys.stdout.write(
+                    "Finished %2.2f percent in %f s Acceptance rate = %g"
+                    % (percent, elapsed, acceptance)
+                )
+                sys.stdout.flush()
+
     def _drain_block(self, state, out, it, tstart, Niter, writer, config):
         """Host-side block drain: chain files, jump stats, progress line."""
+        if getattr(self, "_multi", False):
+            return self._drain_block_multi(
+                state, out, it, tstart, Niter, writer, config
+            )
         x = utils.host_array(out.x)  # [rows, T, C, D]
         lnlike = utils.host_array(out.lnlike)
         lnprob = utils.host_array(out.lnprob)
