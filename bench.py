@@ -105,13 +105,31 @@ def main(
     from ptmcmcsampler_tpu.diagnostics import multichain_ess
     from ptmcmcsampler_tpu.kernel import build_step
     from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
-    from ptmcmcsampler_tpu.models import CurvedLikelihood, IntervalTransformedGaussian
+    from ptmcmcsampler_tpu.models import (
+        CorrelatedGaussian,
+        CurvedLikelihood,
+        HierarchicalGaussian,
+        IntervalTransformedGaussian,
+    )
     from ptmcmcsampler_tpu.state import init_state
 
     if workload == "gaussian":
         model = IntervalTransformedGaussian(ndim=40)
         x0 = np.zeros(40)
         metric = "gaussian40_ess_per_sec"
+    elif workload == "hierarchical":
+        # 50-D linear-Gaussian hierarchy (BASELINE.json config 4): the
+        # PTA-scale dimensionality class the reference's real users run.
+        model = HierarchicalGaussian()
+        x0 = np.zeros(model.ndim)
+        metric = "hierarchical50_ess_per_sec"
+    elif workload == "gaussian200":
+        # 200-D correlated Gaussian: high-dimension evidence point — AM's
+        # U@y, the Welford x^T x and the batched gradients are real MXU
+        # matmuls at this size (VERDICT r2 missing #5).
+        model = CorrelatedGaussian(ndim=200, seed=1)
+        x0 = model.mu.copy()
+        metric = "gaussian200_ess_per_sec"
     else:
         model = CurvedLikelihood()
         x0 = np.array([-0.1, -0.5])

@@ -124,7 +124,15 @@ def _nuts_kernel(
     alpha = jnp.zeros((1, bn), dtype)
     nalpha = jnp.zeros((1, bn), dtype)
 
-    gl = 0  # static global leaf counter -> reservoir-uniform row
+    # Checkpoint stacks as dense [K, dp, bn] arrays with a *dynamic* top
+    # pointer, so the per-subtree leaf loop is a static-bound ``fori_loop``
+    # (the masked-fori construct hardware-validated by the HMC/ChEES kernels)
+    # instead of a full static unroll. Trace/compile size is O(max_depth)
+    # leaf bodies, not O(2**max_depth) — the unrolled form took minutes to
+    # compile at depth >= 6 and grew ~3x per extra level.
+    K = max_depth + 1
+    ar_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)  # [K, 1]
+
     for j in range(max_depth):
         alive = s
         v = dirs_ref[j, :].reshape(1, bn)  # +-1
@@ -137,16 +145,17 @@ def _nuts_kernel(
         r = jnp.where(vneg_d, rm, rp)
         g = jnp.where(vneg_d, gm, gp)
 
-        s_sub = alive
-        n_sub = jnp.zeros((1, bn), dtype)
-        zps = z
-        lps = jnp.full((1, bn), -jnp.inf, dtype)
-        ckz: list = [None] * (max_depth + 1)
-        ckr: list = [None] * (max_depth + 1)
-        top = 0
+        n_leaves_j = 1 << j
+        gl0 = n_leaves_j - 1  # leaves before doubling j (global row offset)
+        # Static slice of this subtree's reservoir uniforms: [2**j, bn].
+        resu_j = resu_ref[gl0 : gl0 + n_leaves_j, :]
+        ar_rows = jax.lax.broadcasted_iota(jnp.int32, (n_leaves_j, 1), 0)
 
-        for k in range(1 << j):
-            active = s_sub
+        def leaf_body(k, carry, veps=veps, v=v, resu_j=resu_j, ar_rows=ar_rows,
+                      alive=alive):
+            (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
+             stz, str_, top) = carry
+            active = s_sub > 0  # i32 mask -> bool (i1 can't be a fori carry)
             active_d = jnp.broadcast_to(active, (dp, bn))
 
             # leapfrog with signed step (nutsjump.py:149-169)
@@ -160,9 +169,14 @@ def _nuts_kernel(
             valid = logu < joint
             diverged = (logu - 1000.0) >= joint  # nutsjump.py:506
 
-            # Reservoir: uniform among valid leaves of this subtree.
+            # Reservoir: uniform among valid leaves of this subtree. Row k
+            # of the subtree's pre-drawn uniforms via a masked reduction
+            # (dynamic row indexing legalizes poorly on the sublane axis).
             n_sub = n_sub + jnp.where(active & valid, 1.0, 0.0).astype(dtype)
-            u_res = resu_ref[gl, :].reshape(1, bn)
+            u_res = jnp.sum(
+                jnp.where(ar_rows == k, resu_j, jnp.zeros_like(resu_j)),
+                axis=0, keepdims=True,
+            )
             take = active & valid & (u_res < 1.0 / jnp.maximum(n_sub, 1.0))
             take_d = jnp.broadcast_to(take, (dp, bn))
             zps = jnp.where(take_d, z1, zps)
@@ -174,30 +188,54 @@ def _nuts_kernel(
             nalpha = nalpha + jnp.where(active, 1.0, 0.0).astype(dtype)
 
             # Checkpointed per-subtree U-turn scheme (proposals/nuts.py):
-            # even leaves push (z, r); odd leaves check against the
-            # trailing_ones(k) topmost checkpoints. All indices static.
-            turning = jnp.zeros((1, bn), bool)
-            if k % 2 == 0:
-                prev_z, prev_r = ckz[top], ckr[top]
-                if prev_z is None:
-                    ckz[top], ckr[top] = z1, r1
-                else:
-                    ckz[top] = jnp.where(active_d, z1, prev_z)
-                    ckr[top] = jnp.where(active_d, r1, prev_r)
-                top += 1
-            else:
-                for i in range(_trailing_ones(k)):
-                    zc, rc = ckz[top - 1 - i], ckr[top - 1 - i]
-                    dzv = v * (z1 - zc)
-                    cont_i = (rdot(dzv, rc)[0] >= 0) & (rdot(dzv, r1)[0] >= 0)
-                    turning = turning | ~cont_i.reshape(1, bn)
-                top -= _trailing_ones(k) - 1
+            # even leaves push (z1, r1) at the dynamic stack top; odd leaves
+            # check against the trailing_ones(k) topmost checkpoints. The
+            # push is a masked write over the stack axis; the checks run
+            # against every stack row with a [top - t_ones, top) window mask.
+            kp = k + 1
+            t_ones = jax.lax.population_count((kp & -kp) - 1)
+            is_even = (k % 2) == 0
 
-            s_sub = s_sub & ~diverged & ~turning
+            push = (ar_k == top) & is_even & active  # [K, bn] via broadcast
+            push_d = push[:, None, :]
+            stz = jnp.where(push_d, z1[None], stz)
+            str_ = jnp.where(push_d, r1[None], str_)
+
+            dzv = v[None] * (z1[None] - stz)  # [K, dp, bn]
+            d_ck = jnp.sum(dzv * str_, axis=1)  # [K, bn]
+            d_r1 = jnp.sum(dzv * r1[None], axis=1)  # [K, bn]
+            cont = (d_ck >= 0) & (d_r1 >= 0)
+            window = (ar_k >= top - t_ones) & (ar_k < top)  # [K, 1]
+            turning = (~is_even) & jnp.any(
+                window & ~cont, axis=0, keepdims=True
+            )  # [1, bn]
+
+            top = top + jnp.where(is_even, 1, -(t_ones - 1))
+
+            s_sub = jnp.where(
+                active & ~diverged & ~turning, s_sub, jnp.zeros_like(s_sub)
+            )
             z = jnp.where(active_d, z1, z)
             r = jnp.where(active_d, r1, r)
             g = jnp.where(active_d, g1, g)
-            gl += 1
+            return (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
+                    stz, str_, top)
+
+        init = (
+            z, r, g,
+            alive.astype(jnp.int32),
+            jnp.zeros((1, bn), dtype),
+            z,
+            jnp.full((1, bn), -jnp.inf, dtype),
+            alpha, nalpha,
+            jnp.zeros((K, dp, bn), dtype),
+            jnp.zeros((K, dp, bn), dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        (z, r, g, s_sub_i, n_sub, zps, lps, alpha, nalpha, _, _, _) = (
+            jax.lax.fori_loop(0, n_leaves_j, leaf_body, init)
+        )
+        s_sub = s_sub_i > 0
 
         # Advance the frontier in direction v (masked: dead lanes keep state).
         upd_m = jnp.broadcast_to(alive & vneg, (dp, bn))

@@ -1,0 +1,247 @@
+"""Fused NUTS Pallas tree kernel vs the iterative XLA path.
+
+``ops/nuts_pallas.py`` pre-draws all randomness as batched arrays (so its key
+layout differs from the XLA path's in-loop splits); the two paths therefore
+cannot be pinned bit-for-bit like the HMC kernel. Instead these tests pin
+them *in law*: the distribution over proposed points, the acceptance
+statistic (alpha, nalpha), divergence behavior at huge step sizes, and the
+dual-averaging trajectory must agree statistically. Runs under the Pallas
+interpreter on the CPU test backend (conftest), exercising the exact kernel
+code that compiles on TPU.
+
+Reference semantics for both paths: ``NUTSJump`` (nutsjump.py:379-840).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ptmcmcsampler_tpu.config import JumpSpec, SamplerConfig
+from ptmcmcsampler_tpu.kernel import build_step
+from ptmcmcsampler_tpu.ops import make_nuts_pallas
+from ptmcmcsampler_tpu.proposals import nuts as nuts_mod
+from ptmcmcsampler_tpu.proposals.base import ProposalContext
+from ptmcmcsampler_tpu.state import init_state
+from ptmcmcsampler_tpu.utils import split_grid
+
+
+def _gauss_model(cov):
+    icov = np.linalg.inv(cov)
+    ndim = cov.shape[0]
+
+    def logl(x):
+        return -0.5 * x @ jnp.asarray(icov, jnp.float32) @ x
+
+    def logp(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 50.0), 0.0, -jnp.inf)
+
+    def func_grad(x, beta):
+        g = -jnp.asarray(icov, jnp.float32) @ x
+        return beta * logl(x), beta * g
+
+    return logl, logp, func_grad
+
+
+def _cfg(ndim, nchains, max_depth=5, force_eps=None, burn=10**6, **kw):
+    return SamplerConfig(
+        ndim=ndim, ntemps=1, nchains=nchains, groups=(tuple(range(ndim)),),
+        jumps=(JumpSpec("NUTSJUMP", "nuts", 10),),
+        nuts_max_depth=max_depth, nuts_force_epsilon=force_eps,
+        burn=burn, thin=1, tskip=10**9, cov_update=10**9, de_size=16, **kw,
+    )
+
+
+def _ctx(ndim, cov=None):
+    cov = np.eye(ndim) if cov is None else cov
+    chol = np.linalg.cholesky(cov)
+    return ProposalContext(
+        group_u=(jnp.eye(ndim),), group_s=(jnp.ones(ndim),),
+        chol=jnp.asarray(chol, jnp.float32),
+        chol_inv=jnp.asarray(np.linalg.solve(chol, np.eye(ndim)), jnp.float32),
+        de_buf=jnp.zeros((4, ndim)), de_valid=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _ss(t, c, eps0=-1.0):
+    """Step-size state; ``eps0 > 0`` pre-seeds epsilon so the tree runs at a
+    known step size while dual averaging still executes (unlike
+    nuts_force_epsilon, which skips DA in both paths)."""
+    z = jnp.zeros((t, c), jnp.float32)
+    return dict(
+        epsilon=z + eps0, epsilonbar=z + 1.0, hbar=z, mu=z, ncalls=z,
+    )
+
+
+def _run_one_call(path, cfg, func_grad, x, ctx, seed, it=1, eps0=-1.0):
+    """One batched NUTS proposal: returns (q [T,C,D], qxy, alpha-stats dict)."""
+    t, c, d = x.shape
+    keys = split_grid(jax.random.key(seed), (t, c))
+    ss = _ss(t, c, eps0)
+    if path == "pallas":
+        kern = make_nuts_pallas(cfg, func_grad)
+        q, qxy, new_ss = jax.jit(
+            lambda k, xx, ss: kern(k, xx, jnp.ones((t,)), it, ctx, ss)
+        )(keys, x, ss)
+    else:
+        kern = nuts_mod.make_nuts(cfg, func_grad)
+        per_chain = jax.vmap(
+            lambda k, xx, s: kern(k, xx, jnp.ones(()), it, ctx, s),
+            in_axes=(0, 0, 0),
+        )
+        q, qxy, new_ss = jax.jit(jax.vmap(per_chain))(keys, x, ss)
+    return np.asarray(q), np.asarray(qxy), {k: np.asarray(v) for k, v in new_ss.items()}
+
+
+class TestSingleTreeLaw:
+    """Same start point, fixed step size: the proposal distribution over many
+    independent trees must agree between the two implementations."""
+
+    def _draw_trees(self, path, cov, nchains=512, eps=0.35, depth=4, seed=0):
+        ndim = cov.shape[0]
+        cfg = _cfg(ndim, nchains, max_depth=depth)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(ndim, cov)
+        x0 = np.full((1, nchains, ndim), 0.7, np.float32)
+        return _run_one_call(path, cfg, func_grad, jnp.asarray(x0), ctx, seed, eps0=eps)
+
+    @pytest.mark.slow
+    def test_proposal_distribution_matches_xla(self):
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]], np.float64)
+        qp, qxyp, ssp = self._draw_trees("pallas", cov, seed=0)
+        qx, qxyx, ssx = self._draw_trees("xla", cov, seed=1)
+        qp2 = qp.reshape(-1, 2)
+        qx2 = qx.reshape(-1, 2)
+        # One-tree proposal clouds from the same start agree in location and
+        # spread (both target the same trajectory law).
+        se = np.sqrt(np.var(qx2, axis=0) / len(qx2)) * 4 + 0.05
+        np.testing.assert_allclose(qp2.mean(axis=0), qx2.mean(axis=0), atol=se.max())
+        np.testing.assert_allclose(
+            qp2.std(axis=0), qx2.std(axis=0), rtol=0.15
+        )
+        # qxy = logp0 - logp_prop: same distribution
+        assert abs(np.mean(qxyp) - np.mean(qxyx)) < 0.2
+        # dual-averaging consumed the same per-tree statistic in law:
+        # hbar after one call encodes alpha/nalpha.
+        assert abs(ssp["hbar"].mean() - ssx["hbar"].mean()) < 0.03
+
+    @pytest.mark.slow
+    def test_tree_size_distribution_matches(self):
+        """nalpha (total leapfrog leaves taken) is the acceptance-statistic
+        denominator; its distribution is a sharp fingerprint of the doubling
+        /U-turn/checkpoint logic."""
+        cov = np.eye(2)
+        cfg = _cfg(2, 512, max_depth=4)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        x0 = jnp.full((1, 512, 2), 0.7, jnp.float32)
+
+        def stats(path, seed):
+            # alpha/nalpha land in hbar via eta*(delta - alpha/nalpha) with
+            # known eta, delta; recover the mean acceptance statistic.
+            _, _, ss = _run_one_call(path, cfg, func_grad, x0, ctx, seed, eps0=0.35)
+            eta = 1.0 / (1.0 + 10.0)
+            mean_accstat = cfg.nuts_delta - ss["hbar"].mean() / eta
+            return mean_accstat
+
+        a_p = stats("pallas", 3)
+        a_x = stats("xla", 4)
+        # Mean Metropolis-averaged acceptance within MC error of each other.
+        assert abs(a_p - a_x) < 0.04, (a_p, a_x)
+
+    def test_divergence_at_huge_epsilon(self):
+        """At eps=50 every first leaf diverges: the proposal must stay at the
+        start point and alpha ~ 0, identically in both paths."""
+        cov = np.eye(2)
+        cfg = _cfg(2, 64, max_depth=4)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        x0 = jnp.full((1, 64, 2), 0.3, jnp.float32)
+        for path, seed in (("pallas", 5), ("xla", 6)):
+            q, qxy, ss = _run_one_call(path, cfg, func_grad, x0, ctx, seed, eps0=50.0)
+            np.testing.assert_allclose(
+                q.reshape(-1, 2), np.asarray(x0).reshape(-1, 2), atol=1e-5,
+                err_msg=path,
+            )
+            # acceptance statistic ~ 0 -> hbar jumped toward delta
+            eta = 1.0 / 11.0
+            accstat = cfg.nuts_delta - ss["hbar"] / eta
+            assert np.all(accstat < 0.05), path
+
+
+class TestSamplingMoments:
+    @pytest.mark.slow
+    def test_kernel_level_moments_match_target_and_xla(self):
+        """Full MH kernel with the Pallas NUTS branch on a correlated Gaussian
+        (identity mass; the tree must do the work): moments match the target
+        and the XLA-path run."""
+        cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+        logl, logp, func_grad = _gauss_model(cov)
+        nchains = 64
+        results = {}
+        for use_pallas, seed in ((True, 0), (False, 1)):
+            cfg = _cfg(2, nchains, max_depth=4, burn=150, use_pallas=use_pallas)
+            _, run_block = build_step(cfg, logl, logp, func_grad)
+            xs = jnp.zeros((1, nchains, 2))
+            ll0 = jax.vmap(jax.vmap(logl))(xs)
+            lp0 = jax.vmap(jax.vmap(logp))(xs)
+            state = init_state(
+                cfg, jax.random.PRNGKey(seed), np.zeros(2), np.eye(2),
+                np.ones(1), ll0, lp0,
+            )
+            state, _ = run_block(state, 200)
+            state, out = run_block(state, 300)
+            samples = np.asarray(out.x[:, 0]).reshape(-1, 2)
+            results[use_pallas] = samples
+            emp = np.cov(samples.T)
+            np.testing.assert_allclose(emp, cov, atol=0.3, err_msg=str(use_pallas))
+            np.testing.assert_allclose(
+                samples.mean(axis=0), [0, 0], atol=0.12, err_msg=str(use_pallas)
+            )
+        np.testing.assert_allclose(
+            np.cov(results[True].T), np.cov(results[False].T), atol=0.3
+        )
+
+    @pytest.mark.slow
+    def test_dual_averaging_converges_like_xla(self):
+        """Adaptive step size: after N calls, the dual-averaged epsilon
+        distribution must agree between paths (same equations, same law)."""
+        cov = np.eye(3)
+        logl, logp, func_grad = _gauss_model(cov)
+        nchains = 32
+        eps = {}
+        for use_pallas, seed in ((True, 2), (False, 3)):
+            cfg = _cfg(3, nchains, max_depth=4, burn=10**6, use_pallas=use_pallas)
+            _, run_block = build_step(cfg, logl, logp, func_grad)
+            xs = jnp.zeros((1, nchains, 3))
+            ll0 = jax.vmap(jax.vmap(logl))(xs)
+            lp0 = jax.vmap(jax.vmap(logp))(xs)
+            state = init_state(
+                cfg, jax.random.PRNGKey(seed), np.zeros(3), np.eye(3),
+                np.ones(1), ll0, lp0,
+            )
+            state, _ = run_block(state, 120)
+            e = np.asarray(state.stepsize.epsilon)
+            assert np.all(e > 0) and np.all(np.isfinite(e))
+            eps[use_pallas] = np.log(e)
+        # log-eps agrees across paths within cross-chain spread.
+        spread = eps[False].std() + 1e-3
+        assert abs(eps[True].mean() - eps[False].mean()) < 3 * spread + 0.25, (
+            eps[True].mean(), eps[False].mean(), spread,
+        )
+
+
+class TestDepth8Unroll:
+    @pytest.mark.slow
+    def test_depth8_compiles_and_runs(self):
+        """max_depth=8 statically unrolls 255 leaves; it must trace, compile
+        (interpret mode here; TPU measurement in tools/nuts_probe.py) and
+        produce finite output."""
+        cov = np.eye(2)
+        cfg = _cfg(2, 8, max_depth=8)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        x0 = jnp.full((1, 8, 2), 0.4, jnp.float32)
+        q, qxy, ss = _run_one_call("pallas", cfg, func_grad, x0, ctx, 7, eps0=0.5)
+        assert np.all(np.isfinite(q))
+        assert np.all(np.isfinite(qxy))
