@@ -84,6 +84,12 @@ class SamplerConfig:
 
     # Behavior switches (TPU-native extensions).
     use_pallas: bool = False  # fused Pallas trajectory kernels (ops/) for gradient jumps
+    # Lane-block width for the fused NUTS tree kernel: chains per grid
+    # program. Larger blocks amortize VPU op-issue overhead (the kernel is
+    # issue-bound at small ndim) but grow Mosaic's kernel stack ~linearly;
+    # blocks > 256 need --xla_tpu_scoped_vmem_limit_kib raised above the
+    # 16 MiB default (see ops/nuts_pallas.py).
+    pallas_nuts_block_n: int = 256
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"
@@ -104,6 +110,12 @@ class SamplerConfig:
     nuts_force_epsilon: Optional[float] = None
     nuts_force_trajlen: Optional[int] = None
     nuts_trajectory: bool = False  # capture (T0, C0) trajectories (nutsjump.py:818-835)
+    # NUTS kernel implementation: "auto" rides the fused Pallas tree kernel
+    # (ops/nuts_pallas.py) on TPU whenever its constraints hold (depth <= 8,
+    # no trajectory capture, no force_trajlen) — measured ~6x the iterative
+    # XLA path on a v5e chip (PROFILE_r03.md) — and the vmapped XLA path
+    # elsewhere. "xla" / "pallas" force one path.
+    nuts_impl: str = "auto"
     # ChEES-HMC statics (beyond-reference vmap-friendly gradient mode).
     chees_max_steps: int = 256
     chees_delta: float = 0.651
@@ -123,6 +135,8 @@ class SamplerConfig:
             raise ValueError(f"unknown jump_select {self.jump_select!r}")
         if self.swap_mode not in ("sweep", "deo"):
             raise ValueError(f"unknown swap_mode {self.swap_mode!r}")
+        if self.nuts_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown nuts_impl {self.nuts_impl!r}")
         if self.jump_select == "per_chain":
             for j in self.jumps:
                 if j.kind in GRADIENT_KINDS:

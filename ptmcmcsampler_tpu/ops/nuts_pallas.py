@@ -193,7 +193,12 @@ def _nuts_kernel(
             # push is a masked write over the stack axis; the checks run
             # against every stack row with a [top - t_ones, top) window mask.
             kp = k + 1
-            t_ones = jax.lax.population_count((kp & -kp) - 1)
+            # popcount of the trailing-ones mask, unrolled over the <=
+            # max_depth bits it can occupy (Mosaic has no scalar popcount).
+            t_mask = (kp & -kp) - 1
+            t_ones = jnp.zeros((), jnp.int32)
+            for b in range(max_depth):
+                t_ones = t_ones + ((t_mask >> b) & 1)
             is_even = (k % 2) == 0
 
             push = (ar_k == top) & is_even & active  # [K, bn] via broadcast
@@ -269,7 +274,7 @@ def _nuts_kernel(
 
 def fused_nuts_trees(
     q0, r0, beta, eps, expo, dirs, accu, resu, chol,
-    *, func_grad, ndim, max_depth, block_n=512, interpret=None,
+    *, func_grad, ndim, max_depth, block_n=256, interpret=None,
 ):
     """Run fused whitened NUTS trees for a flat chain batch.
 
@@ -386,6 +391,7 @@ def make_nuts_pallas(config, func_grad, interpret=None):
     """
     ndim = config.ndim
     max_depth = config.nuts_max_depth
+    block_n = getattr(config, "pallas_nuts_block_n", 256)
     n_leaves = max(1, (1 << max_depth) - 1)
     delta = config.nuts_delta
     force_eps = config.nuts_force_epsilon
@@ -442,7 +448,7 @@ def make_nuts_pallas(config, func_grad, interpret=None):
         q_prop, logp0, logp_prop, alpha, nalpha = fused_nuts_trees(
             q0, r0, beta, epsilon, expo, dirs, accu, resu, ctx.chol,
             func_grad=func_grad, ndim=ndim, max_depth=max_depth,
-            interpret=interpret,
+            block_n=block_n, interpret=interpret,
         )
 
         xq = q_prop @ ctx.chol  # rows: backward chol.T @ q

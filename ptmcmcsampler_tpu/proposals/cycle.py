@@ -163,8 +163,13 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
 
         elif (
             spec.kind == KIND_NUTS
-            and config.use_pallas
             and func_grad is not None
+            and config.nuts_impl != "xla"
+            and (
+                config.nuts_impl == "pallas"
+                or config.use_pallas
+                or jax.default_backend() == "tpu"  # "auto": default on TPU
+            )
             and config.nuts_max_depth <= 8  # ops/nuts_pallas.MAX_UNROLL_DEPTH
             and config.nuts_force_trajlen is None
             and not config.nuts_trajectory  # capture replays the XLA key splits
@@ -173,7 +178,10 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             # 2**depth - 1 leapfrog leaves, checkpointed U-turn checks,
             # reservoir subtree sampling) runs in VMEM with chains on the
             # lane axis (ops/nuts_pallas.py). Same tree law as the vmapped
-            # XLA path below; ~60x cheaper per iteration on TPU.
+            # XLA path below; measured ~6x cheaper per iteration on a v5e
+            # chip at depth 6 (PROFILE_r03.md), and the default NUTS path on
+            # TPU (nuts_impl="auto"); off-TPU the kernel would run in the
+            # slow interpreter, so the XLA path stays the default there.
             from ..ops import make_nuts_pallas
 
             kernel = make_nuts_pallas(config, func_grad)

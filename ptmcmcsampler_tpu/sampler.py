@@ -151,6 +151,7 @@ class PTSampler:
         chain_axis="chain",
         rng_impl="threefry2x32",
         use_pallas=None,
+        nuts_impl="auto",
         host_history_bytes=2 * 1024**3,
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
@@ -174,6 +175,12 @@ class PTSampler:
         # step program crashed the axon TPU worker in round-2 validation
         # (PROFILE_r02.md), so the default stays the XLA path.
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
+        # NUTS path selection ("auto" | "xla" | "pallas"): "auto" rides the
+        # fused Pallas tree kernel on TPU when NUTSmaxdepth <= 8 and no
+        # trajectory capture is requested (proposals/cycle.py gate); the
+        # round-2 scanned-step worker crash is resolved by the masked-fori
+        # kernel (PROFILE_r03.md measures it inside scanned blocks).
+        self.nuts_impl = nuts_impl
 
         self._logl_fn, self._logl_traceable = _wrap_scalar_fn(
             logl, loglargs or [], loglkwargs or {}, self.ndim, self.dtype
@@ -324,6 +331,7 @@ class PTSampler:
     def _build_config(
         self, weights, burn, tskip, cov_update, thin, hmc_kwargs,
         nuts_trajectory=False, ladder_kwargs=None, mass_adapt=False,
+        nuts_max_depth=10,
     ):
         have_grads = self._logl_grad_fn is not None
         jumps = list(
@@ -353,6 +361,8 @@ class PTSampler:
             thin=thin,
             de_size=max(burn, self.nchains),
             use_pallas=self.use_pallas,
+            nuts_impl=self.nuts_impl,
+            nuts_max_depth=nuts_max_depth,
             jump_select=self.jump_select,
             swap_mode=self.swap_mode,
             adapt_from=self.adapt_from,
@@ -411,6 +421,7 @@ class PTSampler:
         ladderAdaptLag=10000.0,
         ladderAdaptTime=100.0,
         massAdapt=False,
+        NUTSmaxdepth=10,
     ):
         """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
         del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
@@ -447,6 +458,10 @@ class PTSampler:
             # ``update_cf`` (nutsjump.py:56-69, calls commented out at
             # :210-215, :261-265, :684-688).
             mass_adapt=bool(massAdapt),
+            # Tree-depth cap (the reference's doubling loop is unbounded,
+            # nutsjump.py:716; a cap is required for compiled control flow).
+            # Depths <= 8 ride the fused Pallas kernel on TPU (nuts_impl).
+            nuts_max_depth=int(NUTSmaxdepth),
             ladder_kwargs=dict(
                 adapt_ladder=bool(adaptLadder),
                 ladder_adapt_lag=float(ladderAdaptLag),

@@ -245,3 +245,46 @@ class TestDepth8Unroll:
         q, qxy, ss = _run_one_call("pallas", cfg, func_grad, x0, ctx, 7, eps0=0.5)
         assert np.all(np.isfinite(q))
         assert np.all(np.isfinite(qxy))
+
+
+class TestNutsImplGating:
+    """nuts_impl dispatch (proposals/cycle.py): "auto" rides the fused Pallas
+    kernel only on TPU (or with the legacy use_pallas opt-in); "pallas"/"xla"
+    force a path; the depth/trajectory constraints always win."""
+
+    def _pallas_selected(self, monkeypatch, **cfg_kw):
+        import ptmcmcsampler_tpu.ops as ops_pkg
+        from ptmcmcsampler_tpu.proposals.cycle import build_jump_branches
+
+        calls = []
+        real = ops_pkg.make_nuts_pallas
+
+        def counting(config, func_grad, interpret=None):
+            calls.append(1)
+            return real(config, func_grad, interpret)
+
+        monkeypatch.setattr(ops_pkg, "make_nuts_pallas", counting)
+        cfg = _cfg(2, 4, max_depth=cfg_kw.pop("max_depth", 5), **cfg_kw)
+        _, _, func_grad = _gauss_model(np.eye(2))
+        build_jump_branches(cfg, func_grad=func_grad)
+        return bool(calls)
+
+    def test_auto_on_cpu_uses_xla(self, monkeypatch):
+        # conftest forces the CPU backend; auto must pick the XLA path there.
+        assert not self._pallas_selected(monkeypatch)
+
+    def test_forced_pallas(self, monkeypatch):
+        assert self._pallas_selected(monkeypatch, nuts_impl="pallas")
+
+    def test_legacy_use_pallas_optin(self, monkeypatch):
+        assert self._pallas_selected(monkeypatch, use_pallas=True)
+
+    def test_forced_xla_overrides_optin(self, monkeypatch):
+        assert not self._pallas_selected(
+            monkeypatch, nuts_impl="xla", use_pallas=True
+        )
+
+    def test_depth_cap_wins(self, monkeypatch):
+        assert not self._pallas_selected(
+            monkeypatch, nuts_impl="pallas", max_depth=9
+        )

@@ -51,10 +51,11 @@ def main():
         lp, glp = model.lnpriorfn_grad(x)
         return beta * ll + lp, beta * gll + glp
 
+    bn = int(kwargs.get("block_n", "256"))
     variants = [
         ("base", {}),
         ("force_eps", {"nuts_force_epsilon": 0.12}),
-        ("pallas", {"use_pallas": True}),
+        ("pallas", {"use_pallas": True, "pallas_nuts_block_n": bn}),
     ]
     only = kwargs.get("only")
     if only:
