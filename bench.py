@@ -68,7 +68,7 @@ def tpu_alive(timeout_s=90):
 def main(
     ntemps=8, nchains=4096, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=8,
-    rng_impl="rbg", tskip=5, force_cpu=0,
+    rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0,
 ):
     # Default configuration chosen from the committed per-branch TPU profile
     # (PROFILE_r02.md): the gradient family runs as ChEES-HMC (adaptive
@@ -167,9 +167,11 @@ def main(
         hmc_stepsize=0.08,
         hmc_nmaxsteps=50,
         nuts_max_depth=nuts_max_depth,
-        # use_pallas stays off: the fused kernels crash the axon TPU worker
-        # when embedded in the scanned step (PROFILE_r02.md); the XLA path
-        # is the measured configuration.
+        # use_pallas=1 routes HMC/ChEES through the fused Pallas leapfrog
+        # kernels (the NUTS branch rides its own Pallas kernel on TPU by
+        # default via nuts_impl="auto"); the committed headline uses the
+        # XLA ChEES path — see PROFILE_r03.md for the measured comparison.
+        use_pallas=bool(use_pallas),
     )
     step, run_block = build_step(
         cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None

@@ -326,6 +326,14 @@ class PTSampler:
                 spec = JumpSpec(name, KIND_CUSTOM, 1, fn=func, protocol="legacy")
         self._aux_jumps.append(spec)
 
+    def randomizeProposalCycle(self):  # noqa: N802 (reference casing)
+        """Drop-in no-op (reference PTMCMCSampler.py:1031-1045): the
+        reference shuffles ``propCycle`` into ``randomizedPropCycle`` but
+        its ``_jump`` draws a uniform index into the *unshuffled* cycle
+        (:1058-1059), so the shuffle is distributionally irrelevant. Here
+        the weighted categorical draw in the compiled cycle plays that
+        role directly (proposals/cycle.py)."""
+
     # --------------------------------------------------------------- sample
 
     def _build_config(

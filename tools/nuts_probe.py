@@ -53,9 +53,11 @@ def main():
 
     bn = int(kwargs.get("block_n", "256"))
     variants = [
-        ("base", {}),
-        ("force_eps", {"nuts_force_epsilon": 0.12}),
-        ("pallas", {"use_pallas": True, "pallas_nuts_block_n": bn}),
+        # nuts_impl pinned: "auto" now rides the Pallas kernel on TPU, so
+        # the XLA baseline must force the portable path explicitly.
+        ("base", {"nuts_impl": "xla"}),
+        ("force_eps", {"nuts_force_epsilon": 0.12, "nuts_impl": "xla"}),
+        ("pallas", {"nuts_impl": "pallas", "pallas_nuts_block_n": bn}),
     ]
     only = kwargs.get("only")
     if only:
