@@ -45,7 +45,10 @@ def _baseline():
     return 1.0
 
 
-def tpu_alive(timeout_s=90):
+def tpu_alive(timeout_s=300):
+    # Cold tunnel contact (server-side AOT init) alone measures 70-90 s on a
+    # healthy chip; a tight timeout misreads that as a wedge and silently
+    # downgrades the whole bench to the CPU fallback.
     """Probe the TPU in a subprocess (a wedged tunnel HANGS rather than
     erroring, so the probe must be killable)."""
     import subprocess

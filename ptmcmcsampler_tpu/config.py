@@ -137,6 +137,13 @@ class SamplerConfig:
             raise ValueError(f"unknown swap_mode {self.swap_mode!r}")
         if self.nuts_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown nuts_impl {self.nuts_impl!r}")
+        if self.pallas_nuts_block_n < 128 or self.pallas_nuts_block_n % 128:
+            # Non-lane-aligned blocks die deep inside Mosaic at first NUTS
+            # compile; fail at construction instead.
+            raise ValueError(
+                "pallas_nuts_block_n must be a positive multiple of 128 "
+                f"(got {self.pallas_nuts_block_n})"
+            )
         if self.jump_select == "per_chain":
             for j in self.jumps:
                 if j.kind in GRADIENT_KINDS:

@@ -11,6 +11,10 @@ from __future__ import annotations
 import numpy as np
 
 
+#: Cap on the complex FFT intermediate per multichain_ess chunk (bytes).
+_ESS_FFT_CHUNK_BYTES = 128e6
+
+
 def _next_pow_two(n):
     i = 1
     while i < n:
@@ -97,28 +101,38 @@ def multichain_ess(chains):
 
     Returns an array [ndim] of ESS estimates for the pooled sample.
     """
-    chains = np.asarray(chains, dtype=np.float64)
+    chains = np.asarray(chains)  # [m, n, d]; f64 conversion happens per chunk
     m, n, d = chains.shape
     if n < 2:
         return np.full(d, float(m * n))
-    chain_means = chains.mean(axis=1)  # [m, d]
-    chain_vars = chains.var(axis=1, ddof=1)  # [m, d]
+    chain_means = chains.mean(axis=1, dtype=np.float64)  # [m, d]
+    chain_vars = chains.var(axis=1, ddof=1, dtype=np.float64)  # [m, d]
     w = chain_vars.mean(axis=0)  # [d]
     b = n * chain_means.var(axis=0, ddof=1) if m > 1 else np.zeros(d)
     var_plus = w * (n - 1) / n + b / n
-    # One batched rFFT over all m*d series at once (the per-series Python
-    # loop this replaces cost thousands of sequential FFTs per neff check
-    # at production chain counts).
+    # Batched rFFT over m*d series (the per-series Python loop this replaced
+    # cost thousands of sequential FFTs per neff check at production chain
+    # counts) — CHUNKED over the chain axis: the complex intermediate is
+    # [chunk, nfft/2+1, d] complex128, so the whole-batch form would peak at
+    # tens of GiB for 4096-chain production windows. Each chunk is capped at
+    # ~128 MiB of FFT intermediate and the per-chain normalized ACFs are
+    # accumulated into the cross-chain mean incrementally.
     nfft = 2 * _next_pow_two(n)
-    xc = chains - chain_means[:, None, :]
-    f = np.fft.rfft(xc, n=nfft, axis=1)
-    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n, :]  # [m, n, d]
-    acf0 = acf[:, :1, :]
-    # Per-chain normalized ACF (constant chains fall back to 1s, matching
-    # autocorr_function), scaled to autocovariance and averaged over chains.
-    ok0 = acf0 > 0
-    fnorm = np.where(ok0, acf / np.where(ok0, acf0, 1.0), 1.0)
-    acov = (fnorm * (chain_vars * (n - 1) / n)[:, None, :]).mean(axis=0)  # [n, d]
+    chunk_m = max(1, int(_ESS_FFT_CHUNK_BYTES // (nfft * max(d, 1) * 16)))
+    acov_sum = np.zeros((n, d))
+    scale = chain_vars * (n - 1) / n  # [m, d]
+    for i0 in range(0, m, chunk_m):
+        blk = slice(i0, min(m, i0 + chunk_m))
+        xc = chains[blk].astype(np.float64) - chain_means[blk, None, :]
+        f = np.fft.rfft(xc, n=nfft, axis=1)
+        acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n, :]
+        acf0 = acf[:, :1, :]
+        # Per-chain normalized ACF (constant chains fall back to 1s,
+        # matching autocorr_function), scaled to autocovariance.
+        ok0 = acf0 > 0
+        fnorm = np.where(ok0, acf / np.where(ok0, acf0, 1.0), 1.0)
+        acov_sum += (fnorm * scale[blk, None, :]).sum(axis=0)
+    acov = acov_sum / m  # [n, d]
     with np.errstate(divide="ignore", invalid="ignore"):
         rho = 1.0 - (w - acov) / var_plus  # [n, d]
     # Geyer initial-positive + initial-monotone sequence over pair sums

@@ -123,6 +123,23 @@ class ChainWriter:
         with open(metaf, "w") as f:
             json.dump(meta, f)
 
+    def clear_stale_sidecars(self, i):
+        """Remove the base all-chain sidecar AND every part sidecar of
+        temperature ``i``. Fresh multi-process runs call this (process 0,
+        before the first collective step): part files are reset lazily by
+        their owners, so a stale base sidecar — or parts from a previous run
+        with a different process layout — would otherwise shadow or pollute
+        the new parts in ``load_all``/``all_rows_count``."""
+        import glob
+
+        binf, metaf = self._all_paths(i)
+        stem = binf[: -len(".bin")]
+        stale = [binf, metaf]
+        stale += glob.glob(stem + ".c*.bin") + glob.glob(stem + ".c*.json")
+        for p in stale:
+            if os.path.isfile(p):
+                os.remove(p)
+
     def append_all(self, i, block, cstart=None, nchains_total=None):
         """Append thinned rows: block [rows, nchains_local, ndim].
 
@@ -221,9 +238,12 @@ class ChainWriter:
         for pbin, meta in parts:
             c = meta["nchains"]
             dtype = np.dtype(meta.get("dtype", "float32"))
-            avail = os.path.getsize(pbin) // (c * d * dtype.itemsize)
             off = meta["chain_offset"]
-            out[:, off : off + c] = self._read_tail(pbin, avail, take, c, d, dtype)
+            # Seek relative to the COMMON row count (min over parts), not
+            # this part's own length: a process killed between appends
+            # leaves one part a block longer, and per-part tails would
+            # silently merge different iterations into one row.
+            out[:, off : off + c] = self._read_tail(pbin, rows, take, c, d, dtype)
         return out
 
     def write_cov(self, cov):

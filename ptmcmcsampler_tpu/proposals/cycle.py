@@ -161,6 +161,21 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
                 q, qxy = _kernel(keys, x, betas, ctx)
                 return q, qxy, ss
 
+        elif spec.kind == KIND_NUTS and config.nuts_impl == "pallas" and not (
+            func_grad is not None
+            and config.nuts_max_depth <= 8
+            and config.nuts_force_trajlen is None
+            and not config.nuts_trajectory
+        ):
+            # An explicitly forced Pallas path that silently fell back to
+            # XLA would make users benchmark the wrong implementation.
+            raise ValueError(
+                "nuts_impl='pallas' requires gradients, nuts_max_depth <= 8 "
+                f"(got {config.nuts_max_depth}), no nuts_force_trajlen, and "
+                "no trajectory capture; use nuts_impl='auto' to fall back "
+                "to the XLA path when these do not hold"
+            )
+
         elif (
             spec.kind == KIND_NUTS
             and func_grad is not None

@@ -519,6 +519,13 @@ class PTSampler:
         # they own.
         self._multi = jax.process_count() > 1
         pid = jax.process_index()
+        if self._multi and self._traj_writer is not None:
+            # _drain_block_multi has no trajectory handling; failing loudly
+            # beats a silently empty trajectoryDir after a long pod run.
+            raise NotImplementedError(
+                "trajectoryDir capture is not supported in multi-process "
+                "runs; capture trajectories in a single-process run"
+            )
         writer = ChainWriter(
             self.outDir, self.ladder, hot_chain=hotChain,
             write_hot_chains=writeHotChains,
@@ -554,15 +561,30 @@ class PTSampler:
             lnprob0 = utils.host_array(state.lnprob)
             x_host = utils.host_array(state.x)  # [T, C, D]
             self._chain_host = [x_host[0, 0][None]]
-            self._chains_host = [x_host[0][None]]  # [1, C, D]
+            # Multi-process: drains append only the LOCAL chain block of the
+            # cold temperature ([rows, len(cids), D], _drain_block_multi), so
+            # a global-width [1, C, D] seed row would make the later
+            # np.concatenate (neff check, ``chains`` accessor) raise on
+            # mismatched widths — the all-chain window starts at the first
+            # drained block instead (matching the part-file sidecars, which
+            # also start there).
+            self._chains_host = [] if self._multi else [x_host[0][None]]
+            if self._multi:
+                self._chains_host_row0 = 1  # window starts after the initial row
             self._lnlike_host = [utils.host_array(state.lnlike[0, 0])[None]]
             self._lnprob_host = [lnprob0[0, 0][None]]
             for ti in range(self.ntemps):
                 if self._multi:
                     # Sidecars become per-process part files, reset lazily by
                     # their owners at the first drain; process 0 writes the
-                    # initial text row (reference :489-491) for every temp.
+                    # initial text row (reference :489-491) for every temp,
+                    # and clears stale sidecars from any previous run in this
+                    # outDir (they would shadow the new part files in
+                    # load_all). No other process can reach its first drain
+                    # before process 0 joins the first collective step, so
+                    # the clear strictly precedes every part-file write.
                     if pid == 0:
+                        writer.clear_stale_sidecars(ti)
                         writer.append(
                             ti,
                             x_host[ti, 0][None],

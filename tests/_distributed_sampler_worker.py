@@ -66,10 +66,18 @@ def make_sampler(resume):
 
 
 s = make_sampler(False)
+# neff (astronomically high, so it never stops the run early) forces the
+# ESS termination check to run on the chain-sharded host history every
+# drain — a global-width seed row mixed with local-width drain blocks used
+# to crash np.concatenate here and hang the peers (round-3 review fix).
 s.sample(
     np.zeros(ndim) + 0.2, 120, burn=20, thin=1, isave=30, Tskip=5,
-    covUpdate=30, SCAMweight=5, AMweight=5, DEweight=5,
+    covUpdate=30, SCAMweight=5, AMweight=5, DEweight=5, neff=10**9,
 )
+# The all-chain accessor must concatenate the local blocks cleanly on every
+# process (owners hold local-width rows, non-owners an empty window).
+chs = s.chains
+assert chs.ndim == 3 and chs.shape[2] == ndim, chs.shape
 
 # Pooled (replicated) counters must be identical across processes.
 jp, ja, mean_acc = s._pooled_stats_fn(s.state)

@@ -284,7 +284,14 @@ class TestNutsImplGating:
             monkeypatch, nuts_impl="xla", use_pallas=True
         )
 
-    def test_depth_cap_wins(self, monkeypatch):
+    def test_forced_pallas_raises_when_unsatisfiable(self, monkeypatch):
+        # A forced Pallas path must not silently fall back to XLA (the user
+        # would benchmark the wrong implementation): depth > 8 raises.
+        with pytest.raises(ValueError, match="nuts_impl='pallas'"):
+            self._pallas_selected(monkeypatch, nuts_impl="pallas", max_depth=9)
+
+    def test_auto_depth_cap_falls_back(self, monkeypatch):
+        # "auto" + legacy opt-in with depth > 8 quietly uses the XLA path.
         assert not self._pallas_selected(
-            monkeypatch, nuts_impl="pallas", max_depth=9
+            monkeypatch, use_pallas=True, max_depth=9
         )

@@ -3,10 +3,12 @@
 # Usage: bash tools/run_bench_suite.sh
 set -u
 cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+export BENCH_ATTEMPTS=${BENCH_ATTEMPTS:-5}
 run() {
   name=$1; shift
   echo "=== $name: python bench.py $* ===" >&2
-  timeout 2400 python bench.py "$@" >"bench_logs/${name}.json" 2>"bench_logs/${name}.log"
+  timeout 3300 python bench.py "$@" >"bench_logs/${name}.json" 2>"bench_logs/${name}.log"
   echo "--- $name rc=$? $(tail -1 bench_logs/${name}.json 2>/dev/null)" >&2
 }
 run curved_chees
