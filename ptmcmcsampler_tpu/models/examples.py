@@ -25,6 +25,7 @@ class CorrelatedGaussian:
     """Reference examples/simple.py model (correlated Gaussian + box prior)."""
 
     def __init__(self, ndim=20, pmin=0.0, pmax=10.0, seed=0):
+        self.ndim = int(ndim)
         rng = np.random.default_rng(seed)
         self.a = np.ones(ndim) * pmin
         self.b = np.ones(ndim) * pmax
