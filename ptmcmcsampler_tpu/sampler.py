@@ -169,11 +169,14 @@ class PTSampler:
         self.swap_mode = swap_mode
         self.adapt_from = adapt_from
         # Fused Pallas trajectory kernels for the gradient jumps (HMC and
-        # ChEES leapfrog loops in VMEM, ops/). Opt-in for now: the kernels
-        # are bit-verified against the XLA paths (tests/test_pallas_ops.py)
-        # and run standalone on the TPU, but embedding them in the scanned
-        # step program crashed the axon TPU worker in round-2 validation
-        # (PROFILE_r02.md), so the default stays the XLA path.
+        # ChEES leapfrog loops in VMEM, ops/). Opt-in: the kernels are
+        # bit-verified against the XLA paths (tests/test_pallas_ops.py) and
+        # run standalone on the TPU, but embedded in the scanned step the
+        # fused ChEES kernel did not finish Mosaic compilation within 55
+        # minutes in round-3 measurement (PROFILE_r03.md; round 2 saw a
+        # worker crash), and the XLA leapfrog path already runs ~0.6 ms/iter
+        # for the full batch — so the default stays the XLA path. (NUTS has
+        # its own default-on TPU kernel; see nuts_impl below.)
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         # NUTS path selection ("auto" | "xla" | "pallas"): "auto" rides the
         # fused Pallas tree kernel on TPU when NUTSmaxdepth <= 8 and no
