@@ -246,6 +246,60 @@ class ChainWriter:
             out[:, off : off + c] = self._read_tail(pbin, rows, take, c, d, dtype)
         return out
 
+    # ---- resume truncation -------------------------------------------
+    #
+    # A process killed between a block drain and its checkpoint leaves the
+    # chain files / sidecars one block AHEAD of the checkpoint. Resume
+    # restarts from the checkpoint and re-runs that block, so any rows past
+    # the checkpoint must be dropped first — otherwise the re-run block is
+    # appended a second time and (for part sidecars, whose merge aligns on a
+    # common row index) every subsequent row of the already-ahead part is
+    # permanently offset.
+
+    @staticmethod
+    def _truncate_binary(path, nbytes):
+        if os.path.isfile(path) and os.path.getsize(path) > nbytes:
+            with open(path, "r+b") as f:
+                f.truncate(nbytes)
+
+    def truncate_all(self, i, base_rows, part_rows):
+        """Drop sidecar rows past a known count (checkpoint resume).
+
+        ``base_rows`` bounds the single-process base sidecar (which includes
+        the seed row); ``part_rows`` bounds each multi-process part sidecar
+        (which starts after the seed row).
+        """
+        binf, metaf = self._all_paths(i)
+        if os.path.isfile(binf) and os.path.isfile(metaf):
+            with open(metaf) as f:
+                meta = json.load(f)
+            row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
+                meta.get("dtype", "float32")
+            ).itemsize
+            self._truncate_binary(binf, base_rows * row_bytes)
+        for pbin, meta in self._part_metas(i):
+            row_bytes = meta["nchains"] * meta["ndim"] * np.dtype(
+                meta.get("dtype", "float32")
+            ).itemsize
+            self._truncate_binary(pbin, part_rows * row_bytes)
+
+    def truncate_text(self, i, nrows):
+        """Keep only the first ``nrows`` lines of chain file ``i``."""
+        fn = self.fnames[i]
+        if not os.path.isfile(fn):
+            return
+        offset = 0
+        count = 0
+        with open(fn, "rb") as f:
+            for line in f:
+                count += 1
+                offset += len(line)
+                if count >= nrows:
+                    break
+        if count >= nrows:
+            with open(fn, "r+b") as f:
+                f.truncate(offset)
+
     def write_cov(self, cov):
         np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))
 

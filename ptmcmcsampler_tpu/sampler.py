@@ -144,7 +144,7 @@ class PTSampler:
         nchains=1,
         dtype=np.float32,
         jump_select="shared",
-        swap_mode="sweep",
+        swap_mode=None,
         adapt_from="cold",
         mesh=None,
         temp_axis="temp",
@@ -166,6 +166,10 @@ class PTSampler:
         self.temp_axis = temp_axis
         self.chain_axis = chain_axis
         self.jump_select = jump_select
+        # None = auto: "deo" when the temperature axis ends up sharded over
+        # >1 device (neighbor ppermute exchanges, no GSPMD gathers on the
+        # swap path), "sweep" (reference-parity serial sweep) otherwise.
+        # Resolved per-run in sample() once the mesh is known.
         self.swap_mode = swap_mode
         self.adapt_from = adapt_from
         # Fused Pallas trajectory kernels for the gradient jumps (HMC and
@@ -179,7 +183,7 @@ class PTSampler:
         # its own default-on TPU kernel; see nuts_impl below.)
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         # NUTS path selection ("auto" | "xla" | "pallas"): "auto" rides the
-        # fused Pallas tree kernel on TPU when NUTSmaxdepth <= 8 and no
+        # fused Pallas tree kernel on TPU when NUTSmaxdepth <= 10 and no
         # trajectory capture is requested (proposals/cycle.py gate); the
         # round-2 scanned-step worker crash is resolved by the masked-fori
         # kernel (PROFILE_r03.md measures it inside scanned blocks).
@@ -191,13 +195,21 @@ class PTSampler:
         self._logp_fn, self._logp_traceable = _wrap_scalar_fn(
             logp, logpargs or [], logpkwargs or {}, self.ndim, self.dtype
         )
+        if not self._logl_traceable:
+            self._warn_host_callback("logl")
+        if not self._logp_traceable:
+            self._warn_host_callback("logp")
         if logl_grad is not None and logp_grad is not None:
-            self._logl_grad_fn, _ = _wrap_grad_fn(
+            self._logl_grad_fn, gl_traceable = _wrap_grad_fn(
                 logl_grad, loglargs or [], loglkwargs or {}, self.ndim, self.dtype
             )
-            self._logp_grad_fn, _ = _wrap_grad_fn(
+            self._logp_grad_fn, gp_traceable = _wrap_grad_fn(
                 logp_grad, logpargs or [], logpkwargs or {}, self.ndim, self.dtype
             )
+            if not gl_traceable:
+                self._warn_host_callback("logl_grad")
+            if not gp_traceable:
+                self._warn_host_callback("logp_grad")
         else:
             self._logl_grad_fn = None
             self._logp_grad_fn = None
@@ -235,6 +247,20 @@ class PTSampler:
 
     # ---------------------------------------------------------------- jumps
 
+    def _warn_host_callback(self, what):
+        """One loud line when a user callable falls back to the sequential
+        host callback — correct but a performance cliff: every iteration pays
+        ntemps x nchains host round-trips (the whole point of the vmapped
+        chain axis is lost). Verbose-gated like the reference's warnings."""
+        if not self.verbose:
+            return
+        print(
+            "WARNING: %s is not JAX-traceable; it will run through a "
+            "sequential host callback - every iteration pays up to "
+            "ntemps*nchains = %d host round-trips. Rewrite it with "
+            "jax.numpy for compiled-speed sampling." % (what, self.ntemps * self.nchains)
+        )
+
     def addProposalToCycle(self, func, weight, name=None):
         """Register a custom jump (reference PTMCMCSampler.py:988-1014).
 
@@ -269,6 +295,7 @@ class PTSampler:
 
                 spec = JumpSpec(name, KIND_CUSTOM, weight, fn=adapted, protocol="jax")
             else:
+                self._warn_host_callback("custom jump %r" % name)
                 spec = JumpSpec(name, KIND_CUSTOM, weight, fn=func, protocol="legacy")
         self._custom_jumps.append(spec)
 
@@ -289,6 +316,8 @@ class PTSampler:
             jax.eval_shape(draw, jax.random.key(0))
         except Exception:
             is_jax = False
+        if not is_jax:
+            self._warn_host_callback("prior draw %r" % name)
         self._custom_jumps.append(
             JumpSpec(
                 name, KIND_PRIOR, weight, fn=draw,
@@ -326,6 +355,7 @@ class PTSampler:
 
                 spec = JumpSpec(name, KIND_CUSTOM, 1, fn=adapted, protocol="jax")
             else:
+                self._warn_host_callback("auxiliary jump %r" % name)
                 spec = JumpSpec(name, KIND_CUSTOM, 1, fn=func, protocol="legacy")
         self._aux_jumps.append(spec)
 
@@ -375,7 +405,7 @@ class PTSampler:
             nuts_impl=self.nuts_impl,
             nuts_max_depth=nuts_max_depth,
             jump_select=self.jump_select,
-            swap_mode=self.swap_mode,
+            swap_mode=self._resolved_swap_mode(),
             adapt_from=self.adapt_from,
             dtype=self.dtype,
             hmc_stepsize=hmc_kwargs.get("stepsize", 0.1),
@@ -459,6 +489,13 @@ class PTSampler:
             SCAM=SCAMweight, AM=AMweight, DE=DEweight, NUTS=NUTSweight,
             MALA=MALAweight, HMC=HMCweight, CHEES=CHEESweight,
         )
+        # Mesh first: swap_mode=None auto-selects DEO when the temperature
+        # axis is sharded, so the default multi-chip configuration rides the
+        # ppermute swap path instead of the serial sweep's fori_loop +
+        # take_along_axis, which GSPMD lowers to cross-device gathers every
+        # tskip (the on-host analogue it replaces: gather -> rank-0 sweep ->
+        # scatter, PTMCMCSampler.py:660-691).
+        mesh = self._resolve_mesh()
         config = self._build_config(
             weights, burn, Tskip, covUpdate,
             thin, dict(stepsize=HMCstepsize, nminsteps=2, nmaxsteps=HMCsteps),
@@ -471,7 +508,9 @@ class PTSampler:
             mass_adapt=bool(massAdapt),
             # Tree-depth cap (the reference's doubling loop is unbounded,
             # nutsjump.py:716; a cap is required for compiled control flow).
-            # Depths <= 8 ride the fused Pallas kernel on TPU (nuts_impl).
+            # Depths <= 10 (incl. this default) ride the fused Pallas kernel
+            # on TPU (nuts_impl); deeper trees fall back to XLA with a loud
+            # warning (proposals/cycle.py).
             nuts_max_depth=int(NUTSmaxdepth),
             ladder_kwargs=dict(
                 adapt_ladder=bool(adaptLadder),
@@ -495,7 +534,6 @@ class PTSampler:
             print("NOTE: using corrected MALA density ratio "
                   "(reference MALA is known-broken)")
 
-        mesh = self._resolve_mesh()
         step, run_block = build_step(
             config, self._logl_fn, self._logp_fn, self._func_grad(),
             mesh=mesh, temp_axis=self.temp_axis,
@@ -521,6 +559,9 @@ class PTSampler:
         # before appending to the files whose (temperature, chain-0) block
         # they own.
         self._multi = jax.process_count() > 1
+        # Whether THIS process has drained (temp 0, chain 0) history; set on
+        # first multi-process drain, gates the neff vote (see _neff_value).
+        self._owns_cold = not self._multi
         pid = jax.process_index()
         if self._multi and self._traj_writer is not None:
             # _drain_block_multi has no trajectory handling; failing loudly
@@ -655,26 +696,7 @@ class PTSampler:
                 message = "\nRun Complete"
                 run_complete = True
             elif neff is not None and it > 2 * burn:
-                burn_rows = burn // thin
-                if self.nchains > 1 and self._chains_host:
-                    # Pool every vmapped chain with the cross-chain (Stan-style)
-                    # ESS — the whole point of the nchains axis: neff grows
-                    # ~linearly with chains, unlike the reference's
-                    # single-chain iter/tau (PTMCMCSampler.py:510-521).
-                    arr = np.concatenate(self._chains_host, axis=0)  # [rows, C, D]
-                    # The in-RAM window may start after row 0 (bounded
-                    # retention / resume): slice in GLOBAL row coordinates.
-                    start = max(0, burn_rows - self._chains_host_row0)
-                    post = arr[start:]
-                    if post.shape[0] >= 8:
-                        chains = np.moveaxis(post, 0, 1)  # [C, rows, D]
-                        n_eff = float(np.min(diagnostics.multichain_ess(chains)))
-                    else:
-                        n_eff = 0.0
-                else:
-                    chain = np.concatenate(self._chain_host, axis=0)
-                    tau = diagnostics.max_autocorr_time(chain[burn_rows:])
-                    n_eff = it / max(1.0, tau)
+                n_eff = self._neff_value(burn // thin, it)
                 if int(n_eff) >= neff:
                     message = "\nRun Complete with {0} effective samples".format(int(n_eff))
                     run_complete = True
@@ -716,6 +738,64 @@ class PTSampler:
         return state
 
     # ------------------------------------------------------------ internals
+
+    def _neff_value(self, burn_rows, it):
+        """Effective-sample-size estimate for the neff termination check
+        (reference PTMCMCSampler.py:510-521, iter/tau on the rank-0 chain).
+
+        With nchains > 1, every vmapped chain is pooled with the cross-chain
+        (Stan-style) ESS — the whole point of the nchains axis: neff grows
+        ~linearly with chains. Multi-process: only the process holding drained
+        cold-chain history may vote to stop — on every other process the host
+        history is just the 1-row seed, whose tau=1.0 would make n_eff = it
+        and falsely signal completion pod-wide (the stop flag is OR-reduced
+        across processes).
+        """
+        if self.nchains > 1 and self._chains_host:
+            arr = np.concatenate(self._chains_host, axis=0)  # [rows, C, D]
+            # The in-RAM window may start after row 0 (bounded
+            # retention / resume): slice in GLOBAL row coordinates.
+            start = max(0, burn_rows - self._chains_host_row0)
+            post = arr[start:]
+            if post.shape[0] >= 8:
+                chains = np.moveaxis(post, 0, 1)  # [C, rows, D]
+                return float(np.min(diagnostics.multichain_ess(chains)))
+            return 0.0
+        if getattr(self, "_multi", False) and not getattr(self, "_owns_cold", False):
+            return 0.0
+        chain = np.concatenate(self._chain_host, axis=0)
+        tau = diagnostics.max_autocorr_time(chain[burn_rows:])
+        return it / max(1.0, tau)
+
+    def _resolved_swap_mode(self):
+        """Effective swap mode for this run (requires the mesh resolved).
+
+        ``swap_mode=None`` (the default) auto-selects: "deo" when the
+        temperature axis is sharded over >1 device — the even/odd neighbor
+        exchanges then run as ``ppermute`` under shard_map, with no
+        cross-device gathers on the swap path — and "sweep" (reference-parity
+        hottest-first serial sweep, PTMCMCSampler.py:672-686) otherwise. An
+        explicit "sweep"/"deo" always wins.
+        """
+        if self.swap_mode is not None:
+            return self.swap_mode
+        mesh = self.mesh
+        temp_sharded = (
+            mesh is not None
+            and self.temp_axis in tuple(getattr(mesh, "axis_names", ()))
+            and mesh.shape[self.temp_axis] > 1
+            and self.ntemps > 1
+        )
+        if temp_sharded:
+            if self.verbose:
+                print(
+                    "NOTE: temperature axis is sharded over %d devices; "
+                    "auto-selecting swap_mode='deo' (ppermute replica "
+                    "exchange). Pass swap_mode='sweep' to force the "
+                    "reference-parity serial sweep." % mesh.shape[self.temp_axis]
+                )
+            return "deo"
+        return "sweep"
 
     def _resolve_mesh(self):
         """Pick the device mesh for this run (or None for unsharded).
@@ -790,6 +870,7 @@ class PTSampler:
         cstart = None if full_c else int(cids[0])
 
         if own_chain0 and 0 in {int(t) for t in tids}:
+            self._owns_cold = True
             lt0 = [int(t) for t in tids].index(0)
             self._chain_host.append(x[:, lt0, c0, :])
             self._chains_host.append(x[:, lt0, :, :])
@@ -956,6 +1037,24 @@ class PTSampler:
                 it = int(meta["iter"]) if meta else int(jax.device_get(state.it))
                 if self.verbose:
                     print(f"Resuming from checkpoint at iteration {it}")
+                # Torn-run cleanup: a kill between a drain and its checkpoint
+                # leaves files a block ahead of the checkpoint; resume re-runs
+                # that block, so rows past the checkpoint must be dropped or
+                # they are duplicated (and part-sidecar merges are offset
+                # forever — the merge aligns on a common row index).
+                thin_ck = int(meta.get("thin", thin)) if meta else thin
+                drained = it // max(thin_ck, 1)
+                if (not self._multi) or jax.process_index() == 0:
+                    for ti in range(self.ntemps):
+                        writer.truncate_text(ti, 1 + drained)
+                        writer.truncate_all(ti, 1 + drained, drained)
+                if self._multi:
+                    from jax.experimental import multihost_utils
+
+                    # Reads of the (shared) files below must see the
+                    # truncation; no process may append before every process
+                    # has joined the first collective block anyway.
+                    multihost_utils.sync_global_devices("ptmcmc-resume-trunc")
                 self._reload_host_history()
                 return state, it
 
@@ -1017,6 +1116,17 @@ class PTSampler:
             1, self._host_history_bytes // max(1, self.nchains * self.ndim * 4)
         )
         total_rows = self._writer.all_rows_count(0)
+        if getattr(self, "_multi", False):
+            # Multi-process drains append LOCAL-width blocks
+            # [rows, len(cids), D] (per-process part sidecars), so seeding the
+            # window with the GLOBAL-width merge from load_all would make the
+            # later np.concatenate raise on mismatched widths. Restart the
+            # window at the resume point; +1 because the part files start
+            # after the seed row (global thinned row 0 lives only in the text
+            # chain file).
+            self._chains_host = []
+            self._chains_host_row0 = total_rows + 1
+            return
         all_rows = self._writer.load_all(0, tail_rows=cap_rows)
         if all_rows is not None and all_rows.shape[1] == self.nchains:
             self._chains_host = [all_rows]

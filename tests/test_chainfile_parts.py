@@ -58,6 +58,59 @@ class TestPartMerge:
         assert w.all_rows_count(0) == 0
 
 
+class TestResumeTruncation:
+    def test_truncate_parts_then_rerun_block_stays_aligned(self, tmp_path):
+        """The round-4 advisor scenario: resume of a torn run re-runs the
+        block past the checkpoint, so without truncation the already-ahead
+        part appends that block TWICE and all its later rows are offset.
+        Truncating parts to the checkpoint row count first must make the
+        re-run block overwrite cleanly."""
+        w = ChainWriter(str(tmp_path), [1.0])
+        total, d = 4, 3
+        w.reset_all(0, 2, d, cstart=0, nchains_total=total)
+        w.reset_all(0, 2, d, cstart=2, nchains_total=total)
+        full = _block(0, 6, total, d)
+        # Checkpoint covers 3 rows; part A was killed one block (2 rows)
+        # ahead, part B exactly at the checkpoint.
+        w.append_all(0, full[:5, 0:2], cstart=0, nchains_total=total)
+        w.append_all(0, full[:3, 2:4], cstart=2, nchains_total=total)
+
+        w.truncate_all(0, base_rows=4, part_rows=3)
+        assert w.all_rows_count(0) == 3
+
+        # Resume re-runs the torn block and both parts append it again.
+        w.append_all(0, full[3:5, 0:2], cstart=0, nchains_total=total)
+        w.append_all(0, full[3:5, 2:4], cstart=2, nchains_total=total)
+        merged = w.load_all(0)
+        assert merged.shape == (5, total, d)
+        np.testing.assert_array_equal(merged, full[:5])
+
+    def test_truncate_base_sidecar(self, tmp_path):
+        w = ChainWriter(str(tmp_path), [1.0])
+        w.reset_all(0, 3, 2)
+        full = _block(0, 5, 3, 2)
+        w.append_all(0, full)
+        w.truncate_all(0, base_rows=2, part_rows=0)
+        got = w.load_all(0)
+        assert got.shape == (2, 3, 2)
+        np.testing.assert_array_equal(got, full[:2])
+        # Truncating to more rows than exist is a no-op.
+        w.truncate_all(0, base_rows=10, part_rows=0)
+        assert w.all_rows_count(0) == 2
+
+    def test_truncate_text(self, tmp_path):
+        w = ChainWriter(str(tmp_path), [1.0])
+        lines = ["%d\t%f\n" % (i, 0.5 * i) for i in range(6)]
+        with open(w.fnames[0], "w") as f:
+            f.writelines(lines)
+        w.truncate_text(0, 4)
+        with open(w.fnames[0]) as f:
+            assert f.readlines() == lines[:4]
+        w.truncate_text(0, 10)  # no-op past EOF
+        with open(w.fnames[0]) as f:
+            assert f.readlines() == lines[:4]
+
+
 class TestChunkedEss:
     def test_chunk_size_invariant(self, monkeypatch):
         rng = np.random.default_rng(3)
