@@ -111,7 +111,7 @@ class SamplerConfig:
     nuts_force_trajlen: Optional[int] = None
     nuts_trajectory: bool = False  # capture (T0, C0) trajectories (nutsjump.py:818-835)
     # NUTS kernel implementation: "auto" rides the fused Pallas tree kernel
-    # (ops/nuts_pallas.py) on TPU whenever its constraints hold (depth <= 8,
+    # (ops/nuts_pallas.py) on TPU whenever its constraints hold (depth <= 10,
     # no trajectory capture, no force_trajlen) — measured ~6x the iterative
     # XLA path on a v5e chip (PROFILE_r03.md) — and the vmapped XLA path
     # elsewhere. "xla" / "pallas" force one path.

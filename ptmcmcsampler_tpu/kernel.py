@@ -70,6 +70,21 @@ def make_context(state: SamplerState) -> ProposalContext:
     )
 
 
+def ladder_window_rates(ctr, dtype):
+    """Recent-window per-pair swap acceptance rates for ladder adaptation.
+
+    Vousden, Farr & Mandel (2016) adapt on the acceptance observed SINCE the
+    previous geometry update; the deltas against the ``*_lad`` snapshots give
+    exactly that window (pairs with no proposals in the window are flagged
+    invalid so fabricated 0-rates never drive an update).
+    Returns ``(rates [T], pair_valid [T] bool)``.
+    """
+    d_prop = ctr.swaps_proposed - ctr.swaps_proposed_lad
+    d_acc = ctr.swaps_accepted - ctr.swaps_accepted_lad
+    rates = jnp.mean(d_acc, axis=1) / jnp.maximum(d_prop, 1).astype(dtype)
+    return rates.astype(dtype), d_prop > 0
+
+
 def _accept_logratio(new_ll, new_lp, old_ll, old_lp, qxy, betas):
     """MH log-ratio with the reference's -inf semantics (PTMCMCSampler.py:605-616)."""
     new = utils.tempered_lnprob(new_ll, new_lp, betas)
@@ -243,23 +258,41 @@ def build_step(
             )
             betas = st.betas
             if config.adapt_ladder:
-                # Adaptive ladder geometry (Vousden+ 2016) from cumulative
-                # per-pair acceptance rates, burn-in only (the kernel is a
-                # fixed Markov kernel afterwards).
+                # Adaptive ladder geometry (Vousden+ 2016) from the
+                # RECENT-window per-pair acceptance rates (delta since the
+                # last geometry update), burn-in only (the kernel is a fixed
+                # Markov kernel afterwards).
                 from .ladder import adapt_ladder_betas
 
-                rates = jnp.mean(ctr.swaps_accepted, axis=1) / jnp.maximum(
-                    ctr.swaps_proposed, 1
-                ).astype(betas.dtype)
+                rates, pair_valid = ladder_window_rates(ctr, betas.dtype)
                 new_betas = adapt_ladder_betas(
-                    betas, rates.astype(betas.dtype), it,
+                    betas, rates, it,
                     lag=config.ladder_adapt_lag, time=config.ladder_adapt_time,
                     skip_top=config.ladder_adapt_skip_top,
-                    # DEO: pairs not yet proposed (the other parity at the
-                    # first events) carry no information — mask them.
-                    pair_valid=ctr.swaps_proposed > 0,
+                    pair_valid=pair_valid,
                 )
-                betas = jnp.where(it <= config.burn, new_betas, betas)
+                # Every spacing update compares ADJACENT pairs, which under
+                # DEO have opposite parities — a one-event window only ever
+                # holds one parity, so the update must wait until the window
+                # covers both (sweep mode proposes every pair every event and
+                # updates every event, as before).
+                tt = t - (1 if config.ladder_adapt_skip_top else 0)
+                have_all = (
+                    jnp.all(pair_valid[: tt - 1]) if tt >= 3
+                    else jnp.asarray(False)
+                )
+                applied = (it <= config.burn) & have_all
+                betas = jnp.where(applied, new_betas, betas)
+                # Advance the window only when an update applied, so the
+                # post-burn counters never silently reset the snapshot.
+                ctr = ctr.replace(
+                    swaps_proposed_lad=jnp.where(
+                        applied, ctr.swaps_proposed, ctr.swaps_proposed_lad
+                    ),
+                    swaps_accepted_lad=jnp.where(
+                        applied, ctr.swaps_accepted, ctr.swaps_accepted_lad
+                    ),
+                )
             return st.replace(x=x, lnlike=ll, lnprior=lp, counters=ctr, betas=betas)
 
         return jax.lax.cond(it % config.tskip == 0, do_swap, lambda s: s, state)

@@ -16,12 +16,12 @@ entire tree in VMEM with chains on the 128-wide lane axis (the layout of
 
 TPU-native structure:
 
-  * the doubling loop and every subtree leaf are **statically unrolled**
-    (depth <= 8 ⇒ <= 255 leaves). The leaf schedule is identical across
-    lanes — which leaf belongs to which subtree, whether it is a checkpoint
-    push (even index) or a U-turn check (odd index), and the stack depth
-    ``top`` are all compile-time constants — so the checkpoint "stack" is a
-    Python list of SSA values: no dynamic indexing, no scatter/gather;
+  * the doubling loop is a static Python ``for`` over levels; each level's
+    subtree runs as a static-bound masked ``fori_loop`` over its
+    ``2**j`` leaves (depth <= 10 ⇒ <= 1023 leaves total), with the
+    checkpoint stack as a dense [depth+1, D, lanes] array and a dynamic top
+    pointer — trace/compile size is O(depth) leaf bodies, not
+    O(2**depth);
   * per-lane divergence / U-turn / completed-tree states are lane masks over
     the static schedule (the construct validated on hardware by the HMC and
     ChEES kernels; a dynamic trip count crashed the axon TPU worker,
@@ -36,9 +36,9 @@ TPU-native structure:
     ``lax.cond`` at batch level (every lane initializes at the first NUTS
     call), so later calls never trace through the search loop.
 
-Fallback: ``proposals/nuts.py`` remains the path for ``nuts_max_depth > 8``,
-trajectory capture (which re-runs the XLA kernel's exact key splits), and
-``nuts_force_trajlen``.
+Fallback: ``proposals/nuts.py`` remains the path for
+``nuts_max_depth > MAX_UNROLL_DEPTH``, trajectory capture (which re-runs the
+XLA kernel's exact key splits), and ``nuts_force_trajlen``.
 """
 
 from __future__ import annotations
@@ -54,8 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..proposals.gradient import find_reasonable_epsilon, make_whitened_funcs
 from ..proposals.nuts import GAMMA, KAPPA, T0
 
-#: Largest tree depth the kernel unrolls (2**8 - 1 = 255 leaves).
-MAX_UNROLL_DEPTH = 8
+#: Largest tree depth the kernel supports (2**10 - 1 = 1023 leaves; the
+#: reference's doubling loop is unbounded, nutsjump.py:716, and real-world
+#: hard targets want depth 9-10 trees — cost is linear in leaves, and the
+#: per-leaf reservoir-uniform input block at depth 10 is ~1 MB of VMEM at
+#: the default 256-lane block).
+MAX_UNROLL_DEPTH = 10
 
 from .hmc_pallas import _LANES, _SUBLANES, _round_up
 

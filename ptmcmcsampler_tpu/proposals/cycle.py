@@ -40,6 +40,12 @@ from . import am, chees, de, gradient, nuts
 from .base import ProposalContext
 
 
+def _nuts_pallas_max_depth():
+    from ..ops.nuts_pallas import MAX_UNROLL_DEPTH
+
+    return MAX_UNROLL_DEPTH
+
+
 def _wrap_legacy(fn, ndim, dtype):
     """Adapt a legacy numpy proposal ``f(x, iter, beta) -> (q, lqxy)`` via
     ``pure_callback`` (host round-trip; correctness fallback, not the fast
@@ -163,17 +169,18 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
 
         elif spec.kind == KIND_NUTS and config.nuts_impl == "pallas" and not (
             func_grad is not None
-            and config.nuts_max_depth <= 8
+            and config.nuts_max_depth <= _nuts_pallas_max_depth()
             and config.nuts_force_trajlen is None
             and not config.nuts_trajectory
         ):
             # An explicitly forced Pallas path that silently fell back to
             # XLA would make users benchmark the wrong implementation.
             raise ValueError(
-                "nuts_impl='pallas' requires gradients, nuts_max_depth <= 8 "
-                f"(got {config.nuts_max_depth}), no nuts_force_trajlen, and "
-                "no trajectory capture; use nuts_impl='auto' to fall back "
-                "to the XLA path when these do not hold"
+                "nuts_impl='pallas' requires gradients, nuts_max_depth <= "
+                f"{_nuts_pallas_max_depth()} (got {config.nuts_max_depth}), "
+                "no nuts_force_trajlen, and no trajectory capture; use "
+                "nuts_impl='auto' to fall back to the XLA path when these "
+                "do not hold"
             )
 
         elif (
@@ -185,7 +192,7 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
                 or config.use_pallas
                 or jax.default_backend() == "tpu"  # "auto": default on TPU
             )
-            and config.nuts_max_depth <= 8  # ops/nuts_pallas.MAX_UNROLL_DEPTH
+            and config.nuts_max_depth <= _nuts_pallas_max_depth()
             and config.nuts_force_trajlen is None
             and not config.nuts_trajectory  # capture replays the XLA key splits
         ):
@@ -205,6 +212,30 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
                 return _kernel(keys, x, betas, it, ctx, ss)
 
         elif spec.kind == KIND_NUTS:
+            if (
+                func_grad is not None
+                and config.nuts_impl == "auto"
+                and jax.default_backend() == "tpu"
+            ):
+                # The auto gate fell through to the (~7x slower, PROFILE_r03)
+                # XLA path on the very hardware the fused kernel targets —
+                # say why, loudly, instead of letting the user benchmark the
+                # wrong implementation (round-4 verdict item).
+                reasons = []
+                if config.nuts_max_depth > _nuts_pallas_max_depth():
+                    reasons.append(
+                        "NUTSmaxdepth=%d > %d (the fused kernel's cap)"
+                        % (config.nuts_max_depth, _nuts_pallas_max_depth())
+                    )
+                if config.nuts_force_trajlen is not None:
+                    reasons.append("nuts_force_trajlen is set")
+                if config.nuts_trajectory:
+                    reasons.append("trajectory capture is on")
+                print(
+                    "WARNING: NUTS is using the XLA tree path on TPU (%s); "
+                    "the fused Pallas kernel is ~7x faster per iteration."
+                    % "; ".join(reasons or ["unknown gate"])
+                )
             kernel = nuts.make_nuts(config, func_grad)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):

@@ -82,6 +82,13 @@ class Counters:
     # active-parity pairs, so accepted/proposed is mode-consistent.
     swaps_proposed: jax.Array  # [T] i32
     swaps_accepted: jax.Array  # [T, C] i32 (per adjacent pair index)
+    # Snapshots of the two swap counters at the last ladder-geometry update:
+    # the adaptive ladder (Vousden+ 2016) feeds on RECENT-window acceptance
+    # rates (delta since the snapshot), not lifetime cumulative rates — with
+    # cumulative rates the geometry update is increasingly dominated by stale
+    # early-burn history and converges slower than the scheme it cites.
+    swaps_proposed_lad: jax.Array  # [T] i32
+    swaps_accepted_lad: jax.Array  # [T, C] i32
 
 
 @chex.dataclass
@@ -182,5 +189,7 @@ def init_state(
             jump_accepted=jnp.zeros((j, t, c), jnp.int32),
             swaps_proposed=jnp.zeros((t,), jnp.int32),
             swaps_accepted=jnp.zeros((t, c), jnp.int32),
+            swaps_proposed_lad=jnp.zeros((t,), jnp.int32),
+            swaps_accepted_lad=jnp.zeros((t, c), jnp.int32),
         ),
     )

@@ -68,6 +68,52 @@ class TestAdaptLadderUnit:
         assert np.all(np.isfinite(new))
 
 
+class TestWindowRates:
+    def test_window_ignores_stale_cumulative_history(self):
+        """The geometry update must feed on the delta since the last update,
+        not lifetime rates: with a huge stale history of 90% acceptance and a
+        recent window of 10%, the window rate is 0.1 (the cumulative rate
+        would be ~0.9)."""
+        from ptmcmcsampler_tpu.kernel import ladder_window_rates
+        from ptmcmcsampler_tpu.state import Counters
+
+        t, c = 4, 8
+        stale_prop = np.full((t,), 1000, np.int32)
+        stale_acc = np.full((t, c), 900, np.int32)
+        win_prop = np.full((t,), 10, np.int32)
+        win_acc = np.full((t, c), 1, np.int32)
+        ctr = Counters(
+            naccepted=jnp.zeros((t, c), jnp.int32),
+            jump_proposed=jnp.zeros((1, t, c), jnp.int32),
+            jump_accepted=jnp.zeros((1, t, c), jnp.int32),
+            swaps_proposed=jnp.asarray(stale_prop + win_prop),
+            swaps_accepted=jnp.asarray(stale_acc + win_acc),
+            swaps_proposed_lad=jnp.asarray(stale_prop),
+            swaps_accepted_lad=jnp.asarray(stale_acc),
+        )
+        rates, valid = ladder_window_rates(ctr, jnp.float32)
+        np.testing.assert_allclose(np.asarray(rates), 0.1, rtol=1e-6)
+        assert np.all(np.asarray(valid))
+
+    def test_empty_window_flagged_invalid(self):
+        from ptmcmcsampler_tpu.kernel import ladder_window_rates
+        from ptmcmcsampler_tpu.state import Counters
+
+        t, c = 3, 4
+        prop = jnp.asarray([5, 0, 5], jnp.int32)
+        ctr = Counters(
+            naccepted=jnp.zeros((t, c), jnp.int32),
+            jump_proposed=jnp.zeros((1, t, c), jnp.int32),
+            jump_accepted=jnp.zeros((1, t, c), jnp.int32),
+            swaps_proposed=prop,
+            swaps_accepted=jnp.zeros((t, c), jnp.int32),
+            swaps_proposed_lad=jnp.zeros((t,), jnp.int32),
+            swaps_accepted_lad=jnp.zeros((t, c), jnp.int32),
+        )
+        _, valid = ladder_window_rates(ctr, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(valid), [True, False, True])
+
+
 class TestAdaptLadderE2E:
     def _run(self, adapt, seed=0):
         ndim = 4

@@ -246,6 +246,20 @@ class TestDepth8Unroll:
         assert np.all(np.isfinite(q))
         assert np.all(np.isfinite(qxy))
 
+    @pytest.mark.slow
+    def test_depth10_compiles_and_runs(self):
+        """Depth 10 = the kernel's new cap (1023 leaves; matches the
+        reference-unbounded regime in practice): finite outputs through the
+        interpreter."""
+        cov = np.eye(2)
+        cfg = _cfg(2, 4, max_depth=10)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        x0 = jnp.full((1, 4, 2), 0.4, jnp.float32)
+        q, qxy, ss = _run_one_call("pallas", cfg, func_grad, x0, ctx, 11, eps0=0.5)
+        assert np.all(np.isfinite(q))
+        assert np.all(np.isfinite(qxy))
+
 
 class TestNutsImplGating:
     """nuts_impl dispatch (proposals/cycle.py): "auto" rides the fused Pallas
@@ -284,14 +298,20 @@ class TestNutsImplGating:
             monkeypatch, nuts_impl="xla", use_pallas=True
         )
 
+    def test_depth_10_rides_pallas(self, monkeypatch):
+        # The reference's doubling loop is unbounded (nutsjump.py:716); the
+        # kernel now covers depth 10, so the out-of-the-box NUTSmaxdepth=10
+        # configuration rides the fast path (round-4 verdict item).
+        assert self._pallas_selected(monkeypatch, nuts_impl="pallas", max_depth=10)
+
     def test_forced_pallas_raises_when_unsatisfiable(self, monkeypatch):
         # A forced Pallas path must not silently fall back to XLA (the user
-        # would benchmark the wrong implementation): depth > 8 raises.
+        # would benchmark the wrong implementation): depth > cap raises.
         with pytest.raises(ValueError, match="nuts_impl='pallas'"):
-            self._pallas_selected(monkeypatch, nuts_impl="pallas", max_depth=9)
+            self._pallas_selected(monkeypatch, nuts_impl="pallas", max_depth=11)
 
     def test_auto_depth_cap_falls_back(self, monkeypatch):
-        # "auto" + legacy opt-in with depth > 8 quietly uses the XLA path.
+        # "auto" + legacy opt-in with depth > cap quietly uses the XLA path.
         assert not self._pallas_selected(
-            monkeypatch, use_pallas=True, max_depth=9
+            monkeypatch, use_pallas=True, max_depth=11
         )
