@@ -143,3 +143,59 @@ def test_two_process_ptsampler_sample_and_resume(tmp_path):
 
     # Checkpoint written by process 0 with full (replicated) state.
     assert os.path.isfile(os.path.join(outdir, "checkpoint.npz"))
+
+
+_TEMPSHARD_WORKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "_distributed_tempshard_worker.py"
+)
+
+
+@pytest.mark.slow
+def test_two_process_temperature_sharded_sample(tmp_path):
+    """`PTSampler.sample()` with the TEMPERATURE axis spanning two real
+    processes (the pod layout where replica exchange crosses the process
+    boundary): swap_mode auto-routes to the ppermute DEO exchange, swaps
+    actually cross the boundary, pooled statistics stay replicated, and only
+    the cold-chain-owning process may vote in the neff stop decision."""
+    import numpy as np
+
+    port = _free_port()
+    outdir = str(tmp_path / "chains")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _TEMPSHARD_WORKER, str(pid), "2", str(port), outdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                parts = line.split()
+                results[int(parts[1])] = parts[2:]
+    assert set(results) == {0, 1}, outs
+    it0, swaps0, jp0, acc0, owns0 = results[0]
+    it1, swaps1, jp1, acc1, owns1 = results[1]
+    assert (it0, swaps0, jp0, acc0) == (it1, swaps1, jp1, acc1), results
+    assert int(it0) == 160
+    assert int(swaps0) > 0  # cross-process ppermute exchanges happened
+    assert (int(owns0), int(owns1)) == (1, 0)  # only process 0 owns the cold chain
+
+    # The cold chain file is written by its owning process in reference format.
+    chain0 = np.loadtxt(os.path.join(outdir, "chain_1.0.txt"), ndmin=2)
+    assert chain0.shape == (161, 2 + 4), chain0.shape
