@@ -71,7 +71,7 @@ def tpu_alive(timeout_s=300):
 def main(
     ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=8,
-    rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0,
+    rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
 ):
     # Default configuration chosen from the committed per-branch TPU profiles
     # (PROFILE_r02.md, PROFILE_r03.md): the gradient family runs as ChEES-HMC
@@ -180,11 +180,14 @@ def main(
         hmc_stepsize=0.08,
         hmc_nmaxsteps=50,
         nuts_max_depth=nuts_max_depth,
-        # use_pallas=1 routes HMC/ChEES through the fused Pallas leapfrog
-        # kernels (the NUTS branch rides its own Pallas kernel on TPU by
-        # default via nuts_impl="auto"); the committed headline uses the
-        # XLA ChEES path — see PROFILE_r03.md for the measured comparison.
+        # use_pallas=1 with ChEES/HMC raises on TPU as of round 4 (the fused
+        # in-step trajectory kernels crash the TPU worker, PROFILE_r04.md);
+        # the NUTS branch rides its own Pallas kernel by default via
+        # nuts_impl="auto". The headline uses the XLA ChEES path.
         use_pallas=bool(use_pallas),
+        # adapt_ladder=1 turns on the windowed Vousden+ ladder-geometry
+        # adaptation during burn-in (kernel.py pt_swap).
+        adapt_ladder=bool(adapt_ladder),
     )
     step, run_block = build_step(
         cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None

@@ -145,6 +145,28 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
     ``logp`` (single-chain prior log-density) is required by prior-draw jumps
     for their Hastings correction.
     """
+    if (
+        config.use_pallas
+        and jax.default_backend() == "tpu"
+        and any(s.kind in (KIND_CHEES, KIND_HMC) and s.weight > 0 for s in config.jumps)
+    ):
+        # The fused ChEES/HMC trajectory kernels are correct standalone and
+        # under the CPU interpreter (tests/test_pallas_ops.py), but embedded
+        # in the scanned step on real TPU hardware they have failed
+        # terminally in three consecutive measurement rounds (a Mosaic
+        # worker crash, a 55-minute compile stall, and a kernel-fault worker
+        # crash — PROFILE_r02/r03/r04.md), while the XLA leapfrog path runs
+        # ~0.6 ms/iter for the full batch. A shipped opt-in that kills the
+        # TPU worker is worse than no opt-in: fail loudly at build time.
+        # (use_pallas remains honored for the NUTS tree kernel, which is
+        # hardware-validated in-step and default-on via nuts_impl="auto".)
+        raise RuntimeError(
+            "use_pallas=True with ChEES/HMC jumps is not supported on TPU: "
+            "the fused trajectory kernels crash the TPU worker when embedded "
+            "in the scanned step (see PROFILE_r04.md). Use the default XLA "
+            "leapfrog path (use_pallas=False), or call the kernels "
+            "standalone via ptmcmcsampler_tpu.ops."
+        )
     branches = []
     for spec in config.jumps:
         if spec.kind == KIND_CHEES:

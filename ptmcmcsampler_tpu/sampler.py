@@ -173,14 +173,16 @@ class PTSampler:
         self.swap_mode = swap_mode
         self.adapt_from = adapt_from
         # Fused Pallas trajectory kernels for the gradient jumps (HMC and
-        # ChEES leapfrog loops in VMEM, ops/). Opt-in: the kernels are
-        # bit-verified against the XLA paths (tests/test_pallas_ops.py) and
-        # run standalone on the TPU, but embedded in the scanned step the
-        # fused ChEES kernel did not finish Mosaic compilation within 55
-        # minutes in round-3 measurement (PROFILE_r03.md; round 2 saw a
-        # worker crash), and the XLA leapfrog path already runs ~0.6 ms/iter
-        # for the full batch — so the default stays the XLA path. (NUTS has
-        # its own default-on TPU kernel; see nuts_impl below.)
+        # ChEES leapfrog loops in VMEM, ops/). The kernels are bit-verified
+        # against the XLA paths (tests/test_pallas_ops.py) and usable
+        # standalone, but embedded in the scanned step on real TPU hardware
+        # they failed terminally in three consecutive measurement rounds
+        # (worker crash / 55-min compile stall / kernel-fault crash —
+        # PROFILE_r02/r03/r04.md), so use_pallas=True with ChEES/HMC jumps
+        # now RAISES on TPU (proposals/cycle.py) instead of hanging or
+        # killing the worker; the XLA leapfrog path (~0.6 ms/iter) is the
+        # shipped configuration. (NUTS has its own hardware-validated
+        # default-on TPU kernel; see nuts_impl below.)
         self.use_pallas = bool(use_pallas) if use_pallas is not None else False
         # NUTS path selection ("auto" | "xla" | "pallas"): "auto" rides the
         # fused Pallas tree kernel on TPU when NUTSmaxdepth <= 10 and no

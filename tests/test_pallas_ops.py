@@ -200,3 +200,38 @@ def test_kernel_sampler_with_pallas_hmc_runs():
     hmc_i = names.index("HMCJump")
     assert int(np.asarray(state.counters.jump_proposed)[hmc_i].sum()) > 0
     assert int(np.asarray(state.counters.jump_accepted)[hmc_i].sum()) > 0
+
+
+def test_use_pallas_chees_hmc_raises_on_tpu(monkeypatch):
+    """On real TPU hardware the fused ChEES/HMC trajectory kernels crash the
+    worker when embedded in the scanned step (three consecutive terminal
+    failures, PROFILE_r02/r03/r04.md), so use_pallas=True with those families
+    must fail loudly at build time there instead of killing the worker. The
+    interpreter path (this CPU suite) stays allowed, and NUTS-only cycles
+    keep honoring the legacy opt-in."""
+    import dataclasses
+
+    import pytest
+
+    from ptmcmcsampler_tpu.config import JumpSpec, KIND_CHEES, KIND_NUTS, SamplerConfig
+    from ptmcmcsampler_tpu.proposals import cycle as cycle_mod
+
+    model = CurvedLikelihood()
+
+    def func_grad(x, beta):
+        ll, g = model.lnlikefn_grad(x)
+        return beta * ll, beta * g
+
+    cfg = SamplerConfig(
+        ndim=2, ntemps=1, nchains=4, groups=((0, 1),),
+        jumps=(JumpSpec("C", KIND_CHEES, 5),),
+        tskip=10, cov_update=50, burn=50, thin=1, de_size=20,
+        use_pallas=True,
+    )
+    monkeypatch.setattr(cycle_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(RuntimeError, match="use_pallas=True with ChEES/HMC"):
+        cycle_mod.build_jump_branches(cfg, func_grad=func_grad)
+
+    # NUTS-only cycle: no raise (that kernel is hardware-validated in-step).
+    cfg_nuts = dataclasses.replace(cfg, jumps=(JumpSpec("N", KIND_NUTS, 5),))
+    cycle_mod.build_jump_branches(cfg_nuts, func_grad=func_grad)
