@@ -66,7 +66,12 @@ def _wrap_scalar_fn(f, args, kwargs, ndim, dtype, out_shape=()):
         jax.eval_shape(call, jax.ShapeDtypeStruct((ndim,), dtype))
 
         def traced(x):
-            return jnp.asarray(call(x), dtype).reshape(out_shape)
+            v = jnp.asarray(call(x), dtype)
+            # Elide the no-op reshape: inside Pallas kernels a vmapped 0-d
+            # reshape lowers to an invalid scalar vector.broadcast (Mosaic
+            # verification error, hit by the fused NUTS kernel when the
+            # user's grad already returns the right shapes).
+            return v if v.shape == tuple(out_shape) else v.reshape(out_shape)
 
         return traced, True
     except Exception:
@@ -92,7 +97,13 @@ def _wrap_grad_fn(f, args, kwargs, ndim, dtype):
 
         def traced(x):
             v, g = call(x)
-            return jnp.asarray(v, dtype).reshape(()), jnp.asarray(g, dtype).reshape((ndim,))
+            v = jnp.asarray(v, dtype)
+            g = jnp.asarray(g, dtype)
+            # No-op reshapes elided (see _wrap_scalar_fn: Mosaic rejects the
+            # vmapped 0-d reshape these would emit inside Pallas kernels).
+            v = v if v.shape == () else v.reshape(())
+            g = g if g.shape == (ndim,) else g.reshape((ndim,))
+            return v, g
 
         return traced, True
     except Exception:

@@ -337,3 +337,34 @@ def test_resume_falls_back_on_stale_checkpoint(tmp_path):
               DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
     rows = np.loadtxt(os.path.join(outdir, "chain_1.0.txt"), ndmin=2)
     assert rows.shape[0] >= 150
+
+
+def test_grad_wrappers_elide_noop_reshapes():
+    """A user grad that already returns the right shapes must not gain no-op
+    reshape ops from the wrapper: vmapped 0-d reshapes fail Mosaic
+    verification inside the fused Pallas NUTS kernel ('vector.broadcast'
+    f32->f32, hit on the chip by the 40-D parity run)."""
+    import jax
+
+    from ptmcmcsampler_tpu.models import IntervalTransformedGaussian
+    from ptmcmcsampler_tpu.sampler import _wrap_grad_fn, _wrap_scalar_fn
+
+    d = 8
+    m = IntervalTransformedGaussian(ndim=d)
+    g, traceable = _wrap_grad_fn(m.lnlikefn_grad, [], {}, d, np.dtype(np.float32))
+    assert traceable
+    jaxpr = jax.make_jaxpr(g)(jnp.zeros(d, jnp.float32)).jaxpr
+    zero_d_reshapes = [
+        e for e in jaxpr.eqns
+        if e.primitive.name == "reshape" and e.outvars[0].aval.shape == ()
+    ]
+    assert not zero_d_reshapes, zero_d_reshapes
+
+    f, traceable = _wrap_scalar_fn(m.lnlikefn, [], {}, d, np.dtype(np.float32))
+    assert traceable
+    jaxpr = jax.make_jaxpr(f)(jnp.zeros(d, jnp.float32)).jaxpr
+    zero_d_reshapes = [
+        e for e in jaxpr.eqns
+        if e.primitive.name == "reshape" and e.outvars[0].aval.shape == ()
+    ]
+    assert not zero_d_reshapes, zero_d_reshapes
