@@ -70,9 +70,13 @@ def tpu_alive(timeout_s=300):
 
 def main(
     ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
-    block=1000, workload="curved", grad_mode="chees", nuts_max_depth=8,
+    block=1000, workload="curved", grad_mode="chees", nuts_max_depth=10,
     rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
 ):
+    # nuts_max_depth=10 matches the sampler default (reference-unbounded
+    # regime in practice): the tree kernel's block-wide level early-exit
+    # makes depth 10 cost only ~2.3x depth 6 (25.5 vs 11.1 ms/iter,
+    # PROFILE_r04.md), so the bench no longer caps depth below the default.
     # Default configuration chosen from the committed per-branch TPU profiles
     # (PROFILE_r02.md, PROFILE_r03.md): the gradient family runs as ChEES-HMC
     # (adaptive fixed-length trajectories) instead of NUTS (the per-chain

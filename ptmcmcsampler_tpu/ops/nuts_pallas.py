@@ -124,7 +124,11 @@ def _nuts_kernel(
     z_prop = q0
     logp_prop = logp0
     n = jnp.ones((1, bn), dtype)
-    s = jnp.ones((1, bn), bool)
+    # Padded lanes (eps == 0) start dead: their identity leapfrogs never
+    # diverge or U-turn, so a live padded lane would hold its whole block in
+    # the doubling loop and defeat the block-wide early exit below. Their
+    # outputs are sliced off by the caller either way.
+    s = eps > 0
     alpha = jnp.zeros((1, bn), dtype)
     nalpha = jnp.zeros((1, bn), dtype)
 
@@ -137,137 +141,156 @@ def _nuts_kernel(
     K = max_depth + 1
     ar_k = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)  # [K, 1]
 
+    # Block-wide early exit over doubling levels: level j costs 2**j leaves,
+    # but typical trees U-turn at depth 2-4, so once EVERY lane in this
+    # block has stopped, the (exponentially dominant) remaining levels are
+    # pure masked no-ops — skip them with a scalar lax.cond. Results are
+    # bitwise identical: a skipped level only ever touches dead lanes. With
+    # the default depth-10 cap this collapses the per-iteration cost from
+    # the worst case (1023 leaves) to the batch's actual tree depth.
+    carry = (zm, rm, gm, zp, rp, gp, z_prop, logp_prop, n,
+             s.astype(jnp.int32), alpha, nalpha)
+
     for j in range(max_depth):
-        alive = s
-        v = dirs_ref[j, :].reshape(1, bn)  # +-1
-        vneg = v < 0
-        vneg_d = jnp.broadcast_to(vneg, (dp, bn))
-        veps = v * eps
+        def do_level(carry, j=j):
+            (zm, rm, gm, zp, rp, gp, z_prop, logp_prop, n, s_i,
+             alpha, nalpha) = carry
+            alive = s_i > 0
+            v = dirs_ref[j, :].reshape(1, bn)  # +-1
+            vneg = v < 0
+            vneg_d = jnp.broadcast_to(vneg, (dp, bn))
+            veps = v * eps
 
-        # Working point = trajectory frontier in direction v.
-        z = jnp.where(vneg_d, zm, zp)
-        r = jnp.where(vneg_d, rm, rp)
-        g = jnp.where(vneg_d, gm, gp)
+            # Working point = trajectory frontier in direction v.
+            z = jnp.where(vneg_d, zm, zp)
+            r = jnp.where(vneg_d, rm, rp)
+            g = jnp.where(vneg_d, gm, gp)
 
-        n_leaves_j = 1 << j
-        gl0 = n_leaves_j - 1  # leaves before doubling j (global row offset)
-        # Static slice of this subtree's reservoir uniforms: [2**j, bn].
-        resu_j = resu_ref[gl0 : gl0 + n_leaves_j, :]
-        ar_rows = jax.lax.broadcasted_iota(jnp.int32, (n_leaves_j, 1), 0)
+            n_leaves_j = 1 << j
+            gl0 = n_leaves_j - 1  # leaves before doubling j (global row offset)
+            # Static slice of this subtree's reservoir uniforms: [2**j, bn].
+            resu_j = resu_ref[gl0 : gl0 + n_leaves_j, :]
+            ar_rows = jax.lax.broadcasted_iota(jnp.int32, (n_leaves_j, 1), 0)
 
-        def leaf_body(k, carry, veps=veps, v=v, resu_j=resu_j, ar_rows=ar_rows,
-                      alive=alive):
-            (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
-             stz, str_, top) = carry
-            active = s_sub > 0  # i32 mask -> bool (i1 can't be a fori carry)
-            active_d = jnp.broadcast_to(active, (dp, bn))
+            def leaf_body(k, carry, veps=veps, v=v, resu_j=resu_j, ar_rows=ar_rows,
+                          alive=alive):
+                (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
+                 stz, str_, top) = carry
+                active = s_sub > 0  # i32 mask -> bool (i1 can't be a fori carry)
+                active_d = jnp.broadcast_to(active, (dp, bn))
 
-            # leapfrog with signed step (nutsjump.py:149-169)
-            rh = r + 0.5 * veps * g
-            z1 = z + veps * rh
-            logp1, g1 = fgw(z1)
-            r1 = rh + 0.5 * veps * g1
-            joint = logp1 - 0.5 * rdot(r1, r1)
-            joint = jnp.where(jnp.isnan(joint), -jnp.inf, joint)
+                # leapfrog with signed step (nutsjump.py:149-169)
+                rh = r + 0.5 * veps * g
+                z1 = z + veps * rh
+                logp1, g1 = fgw(z1)
+                r1 = rh + 0.5 * veps * g1
+                joint = logp1 - 0.5 * rdot(r1, r1)
+                joint = jnp.where(jnp.isnan(joint), -jnp.inf, joint)
 
-            valid = logu < joint
-            diverged = (logu - 1000.0) >= joint  # nutsjump.py:506
+                valid = logu < joint
+                diverged = (logu - 1000.0) >= joint  # nutsjump.py:506
 
-            # Reservoir: uniform among valid leaves of this subtree. Row k
-            # of the subtree's pre-drawn uniforms via a masked reduction
-            # (dynamic row indexing legalizes poorly on the sublane axis).
-            n_sub = n_sub + jnp.where(active & valid, 1.0, 0.0).astype(dtype)
-            u_res = jnp.sum(
-                jnp.where(ar_rows == k, resu_j, jnp.zeros_like(resu_j)),
-                axis=0, keepdims=True,
+                # Reservoir: uniform among valid leaves of this subtree. Row k
+                # of the subtree's pre-drawn uniforms via a masked reduction
+                # (dynamic row indexing legalizes poorly on the sublane axis).
+                n_sub = n_sub + jnp.where(active & valid, 1.0, 0.0).astype(dtype)
+                u_res = jnp.sum(
+                    jnp.where(ar_rows == k, resu_j, jnp.zeros_like(resu_j)),
+                    axis=0, keepdims=True,
+                )
+                take = active & valid & (u_res < 1.0 / jnp.maximum(n_sub, 1.0))
+                take_d = jnp.broadcast_to(take, (dp, bn))
+                zps = jnp.where(take_d, z1, zps)
+                lps = jnp.where(take, logp1, lps)
+
+                alpha = alpha + jnp.where(
+                    active, jnp.minimum(1.0, jnp.exp(joint - joint0)), 0.0
+                ).astype(dtype)
+                nalpha = nalpha + jnp.where(active, 1.0, 0.0).astype(dtype)
+
+                # Checkpointed per-subtree U-turn scheme (proposals/nuts.py):
+                # even leaves push (z1, r1) at the dynamic stack top; odd leaves
+                # check against the trailing_ones(k) topmost checkpoints. The
+                # push is a masked write over the stack axis; the checks run
+                # against every stack row with a [top - t_ones, top) window mask.
+                kp = k + 1
+                # popcount of the trailing-ones mask, unrolled over the <=
+                # max_depth bits it can occupy (Mosaic has no scalar popcount).
+                t_mask = (kp & -kp) - 1
+                t_ones = jnp.zeros((), jnp.int32)
+                for b in range(max_depth):
+                    t_ones = t_ones + ((t_mask >> b) & 1)
+                is_even = (k % 2) == 0
+
+                push = (ar_k == top) & is_even & active  # [K, bn] via broadcast
+                push_d = push[:, None, :]
+                stz = jnp.where(push_d, z1[None], stz)
+                str_ = jnp.where(push_d, r1[None], str_)
+
+                dzv = v[None] * (z1[None] - stz)  # [K, dp, bn]
+                d_ck = jnp.sum(dzv * str_, axis=1)  # [K, bn]
+                d_r1 = jnp.sum(dzv * r1[None], axis=1)  # [K, bn]
+                cont = (d_ck >= 0) & (d_r1 >= 0)
+                window = (ar_k >= top - t_ones) & (ar_k < top)  # [K, 1]
+                turning = (~is_even) & jnp.any(
+                    window & ~cont, axis=0, keepdims=True
+                )  # [1, bn]
+
+                top = top + jnp.where(is_even, 1, -(t_ones - 1))
+
+                s_sub = jnp.where(
+                    active & ~diverged & ~turning, s_sub, jnp.zeros_like(s_sub)
+                )
+                z = jnp.where(active_d, z1, z)
+                r = jnp.where(active_d, r1, r)
+                g = jnp.where(active_d, g1, g)
+                return (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
+                        stz, str_, top)
+
+            init = (
+                z, r, g,
+                alive.astype(jnp.int32),
+                jnp.zeros((1, bn), dtype),
+                z,
+                jnp.full((1, bn), -jnp.inf, dtype),
+                alpha, nalpha,
+                jnp.zeros((K, dp, bn), dtype),
+                jnp.zeros((K, dp, bn), dtype),
+                jnp.zeros((), jnp.int32),
             )
-            take = active & valid & (u_res < 1.0 / jnp.maximum(n_sub, 1.0))
-            take_d = jnp.broadcast_to(take, (dp, bn))
-            zps = jnp.where(take_d, z1, zps)
-            lps = jnp.where(take, logp1, lps)
-
-            alpha = alpha + jnp.where(
-                active, jnp.minimum(1.0, jnp.exp(joint - joint0)), 0.0
-            ).astype(dtype)
-            nalpha = nalpha + jnp.where(active, 1.0, 0.0).astype(dtype)
-
-            # Checkpointed per-subtree U-turn scheme (proposals/nuts.py):
-            # even leaves push (z1, r1) at the dynamic stack top; odd leaves
-            # check against the trailing_ones(k) topmost checkpoints. The
-            # push is a masked write over the stack axis; the checks run
-            # against every stack row with a [top - t_ones, top) window mask.
-            kp = k + 1
-            # popcount of the trailing-ones mask, unrolled over the <=
-            # max_depth bits it can occupy (Mosaic has no scalar popcount).
-            t_mask = (kp & -kp) - 1
-            t_ones = jnp.zeros((), jnp.int32)
-            for b in range(max_depth):
-                t_ones = t_ones + ((t_mask >> b) & 1)
-            is_even = (k % 2) == 0
-
-            push = (ar_k == top) & is_even & active  # [K, bn] via broadcast
-            push_d = push[:, None, :]
-            stz = jnp.where(push_d, z1[None], stz)
-            str_ = jnp.where(push_d, r1[None], str_)
-
-            dzv = v[None] * (z1[None] - stz)  # [K, dp, bn]
-            d_ck = jnp.sum(dzv * str_, axis=1)  # [K, bn]
-            d_r1 = jnp.sum(dzv * r1[None], axis=1)  # [K, bn]
-            cont = (d_ck >= 0) & (d_r1 >= 0)
-            window = (ar_k >= top - t_ones) & (ar_k < top)  # [K, 1]
-            turning = (~is_even) & jnp.any(
-                window & ~cont, axis=0, keepdims=True
-            )  # [1, bn]
-
-            top = top + jnp.where(is_even, 1, -(t_ones - 1))
-
-            s_sub = jnp.where(
-                active & ~diverged & ~turning, s_sub, jnp.zeros_like(s_sub)
+            (z, r, g, s_sub_i, n_sub, zps, lps, alpha, nalpha, _, _, _) = (
+                jax.lax.fori_loop(0, n_leaves_j, leaf_body, init)
             )
-            z = jnp.where(active_d, z1, z)
-            r = jnp.where(active_d, r1, r)
-            g = jnp.where(active_d, g1, g)
-            return (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
-                    stz, str_, top)
+            s_sub = s_sub_i > 0
 
-        init = (
-            z, r, g,
-            alive.astype(jnp.int32),
-            jnp.zeros((1, bn), dtype),
-            z,
-            jnp.full((1, bn), -jnp.inf, dtype),
-            alpha, nalpha,
-            jnp.zeros((K, dp, bn), dtype),
-            jnp.zeros((K, dp, bn), dtype),
-            jnp.zeros((), jnp.int32),
-        )
-        (z, r, g, s_sub_i, n_sub, zps, lps, alpha, nalpha, _, _, _) = (
-            jax.lax.fori_loop(0, n_leaves_j, leaf_body, init)
-        )
-        s_sub = s_sub_i > 0
+            # Advance the frontier in direction v (masked: dead lanes keep state).
+            upd_m = jnp.broadcast_to(alive & vneg, (dp, bn))
+            upd_p = jnp.broadcast_to(alive & ~vneg, (dp, bn))
+            zm = jnp.where(upd_m, z, zm)
+            rm = jnp.where(upd_m, r, rm)
+            gm = jnp.where(upd_m, g, gm)
+            zp = jnp.where(upd_p, z, zp)
+            rp = jnp.where(upd_p, r, rp)
+            gp = jnp.where(upd_p, g, gp)
 
-        # Advance the frontier in direction v (masked: dead lanes keep state).
-        upd_m = jnp.broadcast_to(alive & vneg, (dp, bn))
-        upd_p = jnp.broadcast_to(alive & ~vneg, (dp, bn))
-        zm = jnp.where(upd_m, z, zm)
-        rm = jnp.where(upd_m, r, rm)
-        gm = jnp.where(upd_m, g, gm)
-        zp = jnp.where(upd_p, z, zp)
-        rp = jnp.where(upd_p, r, rp)
-        gp = jnp.where(upd_p, g, gp)
+            # Progressive across-doubling sample (nutsjump.py:786-791).
+            u_acc = accu_ref[j, :].reshape(1, bn)
+            accept = s_sub & (u_acc < n_sub / jnp.maximum(n, 1.0))
+            accept_d = jnp.broadcast_to(accept, (dp, bn))
+            z_prop = jnp.where(accept_d, zps, z_prop)
+            logp_prop = jnp.where(accept, lps, logp_prop)
+            n = n + n_sub  # n_sub == 0 on dead lanes by construction
 
-        # Progressive across-doubling sample (nutsjump.py:786-791).
-        u_acc = accu_ref[j, :].reshape(1, bn)
-        accept = s_sub & (u_acc < n_sub / jnp.maximum(n, 1.0))
-        accept_d = jnp.broadcast_to(accept, (dp, bn))
-        z_prop = jnp.where(accept_d, zps, z_prop)
-        logp_prop = jnp.where(accept, lps, logp_prop)
-        n = n + n_sub  # n_sub == 0 on dead lanes by construction
+            # Whole-trajectory U-turn (stop_criterion, nutsjump.py:465-493).
+            dz = zp - zm
+            cont = (rdot(dz, rm) >= 0) & (rdot(dz, rp) >= 0)
+            s_new = alive & s_sub & cont
+            return (zm, rm, gm, zp, rp, gp, z_prop, logp_prop, n,
+                    s_new.astype(jnp.int32), alpha, nalpha)
 
-        # Whole-trajectory U-turn (stop_criterion, nutsjump.py:465-493).
-        dz = zp - zm
-        cont = (rdot(dz, rm) >= 0) & (rdot(dz, rp) >= 0)
-        s = alive & s_sub & cont
+        carry = jax.lax.cond(jnp.any(carry[9] > 0), do_level, lambda c: c, carry)
+
+    (zm, rm, gm, zp, rp, gp, z_prop, logp_prop, n, _s_i, alpha, nalpha) = carry
 
     qout_ref[:] = z_prop
     logp0_ref[:] = logp0
