@@ -86,10 +86,14 @@ class SamplerConfig:
     use_pallas: bool = False  # fused Pallas trajectory kernels (ops/) for gradient jumps
     # Lane-block width for the fused NUTS tree kernel: chains per grid
     # program. Larger blocks amortize VPU op-issue overhead (the kernel is
-    # issue-bound at small ndim) but grow Mosaic's kernel stack ~linearly;
-    # blocks > 256 need --xla_tpu_scoped_vmem_limit_kib raised above the
-    # 16 MiB default (see ops/nuts_pallas.py).
-    pallas_nuts_block_n: int = 256
+    # issue-bound at small ndim) but grow Mosaic's kernel stack ~linearly
+    # (blocks > 256 need --xla_tpu_scoped_vmem_limit_kib raised above the
+    # 16 MiB default) AND couple more lanes to each block's doubling-level
+    # early exit — a block only skips a level when EVERY lane is done.
+    # Measured at depth 10: 128 lanes = 21.8 ms/iter vs 256 = 25.5 (14%);
+    # depth 6 is a wash (11.2 vs 11.1) — 128 is the better default
+    # (PROFILE_r04.md).
+    pallas_nuts_block_n: int = 128
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"

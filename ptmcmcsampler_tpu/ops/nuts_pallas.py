@@ -56,9 +56,10 @@ from ..proposals.nuts import GAMMA, KAPPA, T0
 
 #: Largest tree depth the kernel supports (2**10 - 1 = 1023 leaves; the
 #: reference's doubling loop is unbounded, nutsjump.py:716, and real-world
-#: hard targets want depth 9-10 trees — cost is linear in leaves, and the
-#: per-leaf reservoir-uniform input block at depth 10 is ~1 MB of VMEM at
-#: the default 256-lane block).
+#: hard targets want depth 9-10 trees — worst-case cost is linear in leaves
+#: (the block-wide level early-exit usually skips the deep tail), and the
+#: per-leaf reservoir-uniform input block at depth 10 is ~0.5 MB of VMEM at
+#: the default 128-lane block).
 MAX_UNROLL_DEPTH = 10
 
 from .hmc_pallas import _LANES, _SUBLANES, _round_up
@@ -418,7 +419,7 @@ def make_nuts_pallas(config, func_grad, interpret=None):
     """
     ndim = config.ndim
     max_depth = config.nuts_max_depth
-    block_n = getattr(config, "pallas_nuts_block_n", 256)
+    block_n = getattr(config, "pallas_nuts_block_n", 128)
     n_leaves = max(1, (1 << max_depth) - 1)
     delta = config.nuts_delta
     force_eps = config.nuts_force_epsilon
