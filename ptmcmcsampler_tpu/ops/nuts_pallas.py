@@ -173,7 +173,7 @@ def _nuts_kernel(
             resu_j = resu_ref[gl0 : gl0 + n_leaves_j, :]
             ar_rows = jax.lax.broadcasted_iota(jnp.int32, (n_leaves_j, 1), 0)
 
-            def leaf_body(k, carry, veps=veps, v=v, resu_j=resu_j, ar_rows=ar_rows,
+            def leaf_step(k, carry, veps=veps, v=v, resu_j=resu_j, ar_rows=ar_rows,
                           alive=alive):
                 (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
                  stz, str_, top) = carry
@@ -247,6 +247,19 @@ def _nuts_kernel(
                 g = jnp.where(active_d, g1, g)
                 return (z, r, g, s_sub, n_sub, zps, lps, alpha, nalpha,
                         stz, str_, top)
+
+            def leaf_body(k, carry):
+                # Within-level early exit: once every lane's subtree has
+                # died (divergence or subtree U-turn), the remaining leaves
+                # of this doubling are masked no-ops — skip the leapfrog +
+                # gradient entirely (bitwise identical; every state update
+                # in leaf_step is already masked by ``active``).
+                return jax.lax.cond(
+                    jnp.any(carry[3] > 0),
+                    lambda c: leaf_step(k, c),
+                    lambda c: c,
+                    carry,
+                )
 
             init = (
                 z, r, g,
