@@ -243,6 +243,28 @@ def main(
     ess_per_sec = ess_min / elapsed
     iters_per_sec = timed_iters / elapsed
 
+    # Statistical QA: for workloads with closed-form posterior moments, the
+    # bench asserts the sampled mean agrees within Monte-Carlo error, so a
+    # speedup can never silently come from a wrong kernel (z uses the pooled
+    # per-dimension ESS as the effective sample count).
+    moments_ok = moments_max_z = None
+    target = None
+    if workload == "hierarchical":
+        target, _ = model.posterior_moments()
+    elif workload == "gaussian200":
+        target = model.mu  # box truncation is negligible for interior modes
+    if target is not None:
+        flat = cold.reshape(-1, ndim)
+        mean = flat.mean(axis=0, dtype=np.float64)
+        sd = flat.std(axis=0, dtype=np.float64)
+        se = sd / np.sqrt(np.maximum(ess, 1.0))
+        z = np.abs(mean - np.asarray(target)) / np.maximum(se, 1e-9)
+        moments_max_z = round(float(z.max()), 2)
+        # 8-sigma + small absolute floor: ESS estimation error and f32
+        # accumulation make exact z-calibration optimistic.
+        moments_ok = bool(np.all(np.abs(mean - np.asarray(target))
+                                 < 8.0 * np.maximum(se, 1e-9) + 0.02 * np.maximum(sd, 1e-9)))
+
     # Roofline evidence (VERDICT r3 weak #4): XLA's own cost model for the
     # compiled block ties iters/s to chip capability — model FLOP/s as % of
     # peak (MFU) and HBM traffic as % of peak bandwidth say whether the
@@ -281,6 +303,8 @@ def main(
         "hbm_bytes_per_iter": round(bytes_iter, 1) if bytes_iter else None,
         "mfu_pct": round(mfu_pct, 4) if mfu_pct is not None else None,
         "hbm_util_pct": round(hbm_pct, 2) if hbm_pct is not None else None,
+        "moments_ok": moments_ok,
+        "moments_max_z": moments_max_z,
     }
     print(json.dumps(result))
     return result
