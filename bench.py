@@ -251,8 +251,10 @@ def main(
     target = None
     if workload == "hierarchical":
         target, _ = model.posterior_moments()
-    elif workload == "gaussian200":
-        target = model.mu  # box truncation is negligible for interior modes
+    # gaussian200 deliberately has NO moment target: its marginal sigmas
+    # (~4) rival the [0, 10] box width, so truncation shifts the posterior
+    # mean far from the unconstrained mu (measured z ~ 77 on a correct run)
+    # and no closed form exists for the truncated correlated Gaussian.
     if target is not None:
         flat = cold.reshape(-1, ndim)
         mean = flat.mean(axis=0, dtype=np.float64)
@@ -265,21 +267,27 @@ def main(
         moments_ok = bool(np.all(np.abs(mean - np.asarray(target))
                                  < 8.0 * np.maximum(se, 1e-9) + 0.02 * np.maximum(sd, 1e-9)))
 
-    # Roofline evidence (VERDICT r3 weak #4): XLA's own cost model for the
-    # compiled block ties iters/s to chip capability — model FLOP/s as % of
-    # peak (MFU) and HBM traffic as % of peak bandwidth say whether the
-    # remaining headroom is compute, bandwidth, or (tiny numbers for both)
-    # latency/occupancy. v5e peaks: 197 TFLOP/s bf16 MXU (the conventional
-    # MFU denominator; the sampler's f32 VPU work makes this an upper bound
-    # on the denominator, i.e. MFU here is conservative), 819 GB/s HBM.
+    # Roofline evidence (VERDICT r3 weak #4): XLA's own cost model ties
+    # iters/s to chip capability. The model counts loop bodies ONCE
+    # (verified: reported flops are independent of the scan length), so
+    # lower a LENGTH-1 block — the same program the smoke step already
+    # compiled, so this hits the executable cache — and read its cost
+    # directly: with thin=1 the scanned body is exactly one iteration plus
+    # one emission row. "bytes accessed" is the LOGICAL operand traffic of
+    # the HLO — an upper bound on real HBM bytes (fusion keeps
+    # intermediates on-chip), so hbm_logical_pct may exceed 100% and reads
+    # as "how bandwidth-heavy the program is before fusion", not a literal
+    # utilization. v5e peaks: 197 TFLOP/s bf16 MXU (conventional MFU
+    # denominator; the f32 VPU work makes MFU here conservative),
+    # 819 GB/s HBM.
     flops_iter = bytes_iter = mfu_pct = hbm_pct = None
     try:
-        ca = run_block.lower(state, block).compile().cost_analysis()
+        ca = run_block.lower(state, 1).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         if ca:
-            flops_iter = float(ca.get("flops", 0.0)) / block
-            bytes_iter = float(ca.get("bytes accessed", 0.0)) / block
+            flops_iter = float(ca.get("flops", 0.0))
+            bytes_iter = float(ca.get("bytes accessed", 0.0))
             if jax.devices()[0].platform == "tpu":
                 mfu_pct = 100.0 * flops_iter * iters_per_sec / 1.97e14
                 hbm_pct = 100.0 * bytes_iter * iters_per_sec / 8.19e11
@@ -302,11 +310,18 @@ def main(
         "flops_per_iter": round(flops_iter, 1) if flops_iter else None,
         "hbm_bytes_per_iter": round(bytes_iter, 1) if bytes_iter else None,
         "mfu_pct": round(mfu_pct, 4) if mfu_pct is not None else None,
-        "hbm_util_pct": round(hbm_pct, 2) if hbm_pct is not None else None,
+        "hbm_logical_pct": round(hbm_pct, 2) if hbm_pct is not None else None,
         "moments_ok": moments_ok,
         "moments_max_z": moments_max_z,
     }
     print(json.dumps(result))
+    if moments_ok is False:
+        # The QA must FAIL the bench, not just annotate it: a speedup from a
+        # wrong kernel would otherwise exit 0 with a headline number.
+        raise SystemExit(
+            "posterior-moment check FAILED (max z = %s); the speed number "
+            "above is not trustworthy" % moments_max_z
+        )
     return result
 
 

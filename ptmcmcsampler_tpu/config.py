@@ -125,6 +125,7 @@ class SamplerConfig:
     chees_delta: float = 0.651
     chees_lr: float = 0.025
     mass_adapt: bool = False  # reference keeps the initial mass matrix (nutsjump.py:210-215)
+    verbose: bool = True  # gates build-time diagnostics (e.g. the NUTS XLA-fallback warning)
 
     def __post_init__(self):
         assert self.ndim >= 1 and self.ntemps >= 1 and self.nchains >= 1

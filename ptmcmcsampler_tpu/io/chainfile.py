@@ -285,8 +285,15 @@ class ChainWriter:
 
     def truncate_text(self, i, nrows):
         """Keep only the first ``nrows`` lines of chain file ``i``."""
-        fn = self.fnames[i]
+        self._truncate_lines(self.fnames[i], nrows)
+
+    @staticmethod
+    def _truncate_lines(fn, nrows):
         if not os.path.isfile(fn):
+            return
+        if nrows <= 0:
+            with open(fn, "r+b") as f:
+                f.truncate(0)
             return
         offset = 0
         count = 0
@@ -299,6 +306,15 @@ class ChainWriter:
         if count >= nrows:
             with open(fn, "r+b") as f:
                 f.truncate(offset)
+
+    def truncate_jump_files(self, jump_names, nrows):
+        """Keep only the first ``nrows`` entries of each per-jump
+        acceptance-rate series (one line is appended per drain, so a torn
+        resume must also drop the entries past the checkpoint)."""
+        for name in jump_names:
+            self._truncate_lines(
+                os.path.join(self.outdir, name + "_jump.txt"), nrows
+            )
 
     def write_cov(self, cov):
         np.save(os.path.join(self.outdir, "cov.npy"), np.asarray(cov))

@@ -51,7 +51,13 @@ def state_sharding(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None
         shape = np.shape(leaf)
         if field in ("x",):
             return P(axis, chain_axis, None)
-        if field in ("lnlike", "lnprior", "naccepted", "swaps_accepted"):
+        # swaps_accepted_lad is the ladder-adaptation snapshot of
+        # swaps_accepted and must share its [T, C] placement (a replicated
+        # snapshot would force GSPMD reshards on every windowed-rate delta);
+        # swaps_proposed(_lad) [T] stays replicated like every
+        # deterministically-updated counter.
+        if field in ("lnlike", "lnprior", "naccepted", "swaps_accepted",
+                     "swaps_accepted_lad"):
             return P(axis, chain_axis)
         if field == "betas":
             return P(axis)

@@ -237,6 +237,7 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             if (
                 func_grad is not None
                 and config.nuts_impl == "auto"
+                and config.verbose
                 and jax.default_backend() == "tpu"
             ):
                 # The auto gate fell through to the (~7x slower, PROFILE_r03)

@@ -426,6 +426,7 @@ class PTSampler:
             hmc_nmaxsteps=hmc_kwargs.get("nmaxsteps", 300),
             nuts_trajectory=nuts_trajectory,
             mass_adapt=mass_adapt,
+            verbose=bool(self.verbose),
             **(ladder_kwargs or {}),
         )
 
@@ -601,6 +602,10 @@ class PTSampler:
         ckpt_path = os.path.join(self.outDir, "checkpoint.npz")
         start_iter = 0
         state = None
+        # Drains completed so far (one <name>_jump.txt entry is appended per
+        # drain); persisted in the checkpoint meta so torn-run resume can
+        # truncate the series exactly. _try_resume overwrites it.
+        self._drain_count = 0
 
         if self.resume:
             state, start_iter = self._try_resume(
@@ -614,6 +619,7 @@ class PTSampler:
             ll0 = jnp.where(jnp.isneginf(lp0), -jnp.inf, ll0)
             state = init_state(config, init_key, x0, self.cov0, betas, ll0, lp0)
             start_iter = 0
+            self._drain_count = 0
             # Record + write the initial sample (reference :489-491).
             lnprob0 = utils.host_array(state.lnprob)
             x_host = utils.host_array(state.x)  # [T, C, D]
@@ -703,6 +709,7 @@ class PTSampler:
             state, out = run_block(state, rows)
             it += rows * thin
             self._drain_block(state, out, it, tstart, Niter, writer, config)
+            self._drain_count += 1
             self.state = state
 
             if it >= Niter - (Niter % thin):
@@ -734,13 +741,15 @@ class PTSampler:
                     save_checkpoint(
                         ckpt_path, rep_state,
                         meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
-                                  isave=int(isave)),
+                                  isave=int(isave),
+                                  drains=int(self._drain_count)),
                     )
             else:
                 save_checkpoint(
                     ckpt_path, state,
                     meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
-                              isave=int(isave)),
+                              isave=int(isave),
+                              drains=int(self._drain_count)),
                 )
 
         if profile_dir is not None:
@@ -1056,11 +1065,19 @@ class PTSampler:
                 # they are duplicated (and part-sidecar merges are offset
                 # forever — the merge aligns on a common row index).
                 thin_ck = int(meta.get("thin", thin)) if meta else thin
+                isave_ck = int(meta.get("isave", isave)) if meta else isave
                 drained = it // max(thin_ck, 1)
+                drains_ck = int(meta.get("drains", it // max(isave_ck, 1))) \
+                    if meta else it // max(isave_ck, 1)
+                self._drain_count = drains_ck
                 if (not self._multi) or jax.process_index() == 0:
                     for ti in range(self.ntemps):
                         writer.truncate_text(ti, 1 + drained)
                         writer.truncate_all(ti, 1 + drained, drained)
+                    # The per-jump acceptance series gain one entry per
+                    # drain; drop entries past the checkpoint too, or every
+                    # torn resume leaves a duplicate row in <name>_jump.txt.
+                    writer.truncate_jump_files(config.jump_names(), drains_ck)
                 if self._multi:
                     from jax.experimental import multihost_utils
 
@@ -1105,6 +1122,7 @@ class PTSampler:
         ll0 = jnp.where(jnp.isneginf(lp0), -jnp.inf, ll0)
         state = init_state(config, init_key, x_res, self.cov0, betas, ll0, lp0)
         it = (rows - 1) * thin
+        self._drain_count = (rows - 1) // max(isave // thin, 1)
         # Restore the acceptance counter from the file column (reference :599).
         naccepted = int(data[-1, -2] * it)
         ctr = state.counters

@@ -109,6 +109,22 @@ class TestResumeTruncation:
         w.truncate_text(0, 10)  # no-op past EOF
         with open(w.fnames[0]) as f:
             assert f.readlines() == lines[:4]
+        w.truncate_text(0, 0)  # zero keeps ZERO lines, not one
+        with open(w.fnames[0]) as f:
+            assert f.readlines() == []
+
+    def test_truncate_jump_files(self, tmp_path):
+        import os
+
+        w = ChainWriter(str(tmp_path), [1.0])
+        names = ["am", "scam"]
+        w.init_jump_files(names)
+        for k in range(5):
+            w.write_jump_stats(names, [1, 1], [10 * (k + 1)] * 2, [k + 1] * 2)
+        w.truncate_jump_files(names, 3)
+        for name in names:
+            with open(os.path.join(str(tmp_path), name + "_jump.txt")) as f:
+                assert len(f.readlines()) == 3
 
 
 class TestChunkedEss:
