@@ -191,6 +191,30 @@ class TestResume:
         assert rows_after == rows_before + (2000 - 1000) // 2
         del s1
 
+    def test_torn_resume_truncates_jump_series(self, glo, tmp_path):
+        """A kill between a drain and its checkpoint leaves one extra entry
+        in each <name>_jump.txt; resume must drop it (using the drain count
+        persisted in the checkpoint meta) so the series length stays equal
+        to the number of drains."""
+        outdir = str(tmp_path / "chains")
+        run_sampler(glo, tmp_path, niter=1500)
+        jf = os.path.join(outdir, "covarianceJumpProposalAM_jump.txt")
+        n0 = len(open(jf).readlines())
+        assert n0 == 3  # 1500 iters / isave 500
+        with open(jf, "a") as f:
+            f.write("0.5\n")  # torn post-checkpoint entry
+
+        ndim = len(glo.mu)
+        s2 = PTSampler(
+            ndim, glo.lnlikefn, glo.lnpriorfn, np.eye(ndim) * 0.5,
+            ntemps=2, nchains=16, outDir=outdir, verbose=False, seed=1, resume=True,
+        )
+        s2.sample(
+            np.clip(glo.mu + 0.1, -9, 9), 3000, burn=500, thin=2, covUpdate=500,
+            isave=500, SCAMweight=20, AMweight=20, DEweight=20, Tskip=50,
+        )
+        assert len(open(jf).readlines()) == 6  # duplicate dropped, 3 drains added
+
     def test_chainfile_resume_without_checkpoint(self, glo, tmp_path):
         outdir = str(tmp_path / "chains")
         run_sampler(glo, tmp_path, niter=1000)
