@@ -86,7 +86,17 @@ def load_checkpoint(path, template_state):
     for leaf_path, tpl in flat:
         name = _path_name(leaf_path)
         if name not in stored:
-            raise ValueError(f"checkpoint is missing state leaf {name!r}")
+            # Forward compatibility for the ladder-window snapshot counters:
+            # a ``<counter>_lad`` leaf added after a checkpoint was written
+            # backfills from its cumulative counter — "snapshot taken at
+            # resume" is exactly the right window semantics — instead of
+            # rejecting the whole checkpoint and silently discarding every
+            # piece of adaptive state via the chain-file fallback.
+            base = name[: -len("_lad")] if name.endswith("_lad") else None
+            if base is not None and base in stored:
+                stored[name] = stored[base]
+            else:
+                raise ValueError(f"checkpoint is missing state leaf {name!r}")
         new = stored[name]
         if _is_typed_key(tpl):
             # Restore the typed key with the template's PRNG impl.

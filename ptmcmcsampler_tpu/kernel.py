@@ -237,10 +237,9 @@ def build_step(
 
         def do_swap(st):
             if config.swap_mode == "sweep":
-                swap_map, accepted, proposed = swaps.sweep_swap_map(
-                    key, st.lnlike, st.betas
+                x, ll, lp, accepted, proposed = swaps.sweep_swap_apply(
+                    key, st.x, st.lnlike, st.lnprior, st.betas
                 )
-                x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
             elif sharded_deo is not None:
                 parity = (it // config.tskip) % 2
                 x, ll, lp, accepted, proposed = sharded_deo(
@@ -248,10 +247,9 @@ def build_step(
                 )
             else:
                 parity = (it // config.tskip) % 2
-                swap_map, accepted, proposed = swaps.deo_swap_map(
-                    key, st.lnlike, st.betas, parity
+                x, ll, lp, accepted, proposed = swaps.deo_swap_apply(
+                    key, st.x, st.lnlike, st.lnprior, st.betas, parity
                 )
-                x, ll, lp = swaps.apply_swap(swap_map, st.x, st.lnlike, st.lnprior)
             ctr = st.counters.replace(
                 swaps_proposed=st.counters.swaps_proposed + proposed.astype(jnp.int32),
                 swaps_accepted=st.counters.swaps_accepted + accepted.astype(jnp.int32),

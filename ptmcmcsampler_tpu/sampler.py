@@ -21,6 +21,7 @@ Key differences from the reference (all capability supersets):
 from __future__ import annotations
 
 import inspect
+import json
 import os
 import sys
 import time
@@ -742,14 +743,16 @@ class PTSampler:
                         ckpt_path, rep_state,
                         meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
                                   isave=int(isave),
-                                  drains=int(self._drain_count)),
+                                  drains=int(self._drain_count),
+                                  swap_mode=config.swap_mode),
                     )
             else:
                 save_checkpoint(
                     ckpt_path, state,
                     meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
                               isave=int(isave),
-                              drains=int(self._drain_count)),
+                              drains=int(self._drain_count),
+                              swap_mode=config.swap_mode),
                 )
 
         if profile_dir is not None:
@@ -801,6 +804,15 @@ class PTSampler:
         """
         if self.swap_mode is not None:
             return self.swap_mode
+        # Resuming under auto-selection: the replica-exchange law (sweep vs
+        # DEO) is part of the sampler's statistical behavior, so a run resumed
+        # on a different device topology (e.g. a pod checkpoint resumed on one
+        # chip) must keep the mode it started with, not silently switch
+        # mid-run. The resolved mode is persisted in the checkpoint meta.
+        if self.resume:
+            ckpt_mode = self._checkpoint_meta_value("swap_mode")
+            if ckpt_mode in ("sweep", "deo"):
+                return ckpt_mode
         mesh = self.mesh
         temp_sharded = (
             mesh is not None
@@ -818,6 +830,15 @@ class PTSampler:
                 )
             return "deo"
         return "sweep"
+
+    def _checkpoint_meta_value(self, key):
+        """Read one field from the checkpoint meta sidecar, if present."""
+        path = os.path.join(self.outDir, "checkpoint.npz.json")
+        try:
+            with open(path) as f:
+                return json.load(f).get(key)
+        except (OSError, ValueError):
+            return None
 
     def _resolve_mesh(self):
         """Pick the device mesh for this run (or None for unsharded).
@@ -1092,13 +1113,38 @@ class PTSampler:
         if data is None or len(data) == 0:
             return None, 0
         rows = data.shape[0]
+        # Warm-start the proposal covariance from the cov.npy the previous
+        # run wrote at every drain (io/chainfile.py:320) — the reference
+        # writes the same file but never reloads it (PTMCMCSampler.py:349-351,
+        # :290-319), so its resumes always re-burn the proposal scales.
+        cov_res = self.cov0
+        cov_warm = False
+        cov_path = os.path.join(self.outDir, "cov.npy")
+        if os.path.isfile(cov_path):
+            try:
+                cov_cand = np.load(cov_path)
+                if cov_cand.shape == (self.ndim, self.ndim) and np.all(
+                    np.isfinite(cov_cand)
+                ):
+                    cov_res = cov_cand
+                    cov_warm = True
+            except (OSError, ValueError):
+                pass
         if self.verbose:
             print("Resuming run from chain file {0}".format(writer.fnames[0]))
-            print(
-                "WARNING: no usable full-state checkpoint found - adaptive "
-                "state (covariance, DE buffer, step sizes, ladder) restarts "
-                "from its initial values and will re-burn in."
-            )
+            if cov_warm:
+                print(
+                    "NOTE: no usable full-state checkpoint found - proposal "
+                    "covariance warm-started from cov.npy; other adaptive "
+                    "state (DE buffer, step sizes, ladder) restarts from its "
+                    "initial values."
+                )
+            else:
+                print(
+                    "WARNING: no usable full-state checkpoint found - adaptive "
+                    "state (covariance, DE buffer, step sizes, ladder) restarts "
+                    "from its initial values and will re-burn in."
+                )
         if isave != thin and rows % (isave / thin) != 1:  # reference :301-309
             raise RuntimeError(
                 "Old chain has {0} rows, which is not the initial sample plus "
@@ -1120,7 +1166,7 @@ class PTSampler:
         xs = jnp.asarray(x_res, dtype=self.dtype)
         ll0, lp0 = eval_init(xs)
         ll0 = jnp.where(jnp.isneginf(lp0), -jnp.inf, ll0)
-        state = init_state(config, init_key, x_res, self.cov0, betas, ll0, lp0)
+        state = init_state(config, init_key, x_res, cov_res, betas, ll0, lp0)
         it = (rows - 1) * thin
         self._drain_count = (rows - 1) // max(isave // thin, 1)
         # Restore the acceptance counter from the file column (reference :599).

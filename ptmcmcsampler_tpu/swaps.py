@@ -36,6 +36,48 @@ def pair_uniforms(key, t, c):
     return jax.vmap(one)(jnp.arange(t))
 
 
+def _sweep_rows(key, lnlike, betas, payload_rows=()):
+    """Run the reference's hottest-first serial sweep over row lists.
+
+    The sweep is unrolled over the (static, small) temperature count and
+    carries the *permuted* likelihood rows directly, so no per-chain gather
+    (``lnlike[m[i]]``) ever appears — per-element axis-0 gathers lower to
+    ~60 us kCustom fusions per sweep step on TPU, which made the swap event
+    the single most expensive part of the headline iteration (round-5 trace).
+    Any extra ``payload_rows`` (each a list of T arrays with leading chain
+    axis) are permuted by the same exchanges.
+
+    Returns (m_rows, acc_rows, ll_rows, payload_rows) with identical values
+    to the original fori_loop + take_along_axis formulation.
+    """
+    t, c = lnlike.shape
+    us = jax.random.uniform(key, (t - 1, c) if t > 1 else (1, c))
+    log_us = jnp.log(jnp.maximum(us, 1e-37))
+    m_rows = [jnp.full((c,), i, jnp.int32) for i in range(t)]
+    ll_rows = [lnlike[i] for i in range(t)]
+    acc_rows = [jnp.zeros((c,), bool) for _ in range(t)]
+    payload_rows = [list(rows) for rows in payload_rows]
+    for i in range(t - 2, -1, -1):  # hottest pair first (reference reversed())
+        li, li1 = ll_rows[i], ll_rows[i + 1]
+        # (1/T_i - 1/T_{i+1}) * (L[m[i+1]] - L[m[i]]), as in :673-676.
+        dll = jnp.where(jnp.isneginf(li1) & jnp.isneginf(li), 0.0, li1 - li)
+        log_acc = (betas[i] - betas[i + 1]) * dll
+        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+        take = log_us[i] <= log_acc
+        ll_rows[i] = jnp.where(take, li1, li)
+        ll_rows[i + 1] = jnp.where(take, li, li1)
+        mi, mi1 = m_rows[i], m_rows[i + 1]
+        m_rows[i] = jnp.where(take, mi1, mi)
+        m_rows[i + 1] = jnp.where(take, mi, mi1)
+        for rows in payload_rows:
+            ri, ri1 = rows[i], rows[i + 1]
+            tk = take.reshape(take.shape + (1,) * (ri.ndim - 1))
+            rows[i] = jnp.where(tk, ri1, ri)
+            rows[i + 1] = jnp.where(tk, ri, ri1)
+        acc_rows[i] = take
+    return m_rows, acc_rows, ll_rows, payload_rows
+
+
 def sweep_swap_map(key, lnlike, betas):
     """Build the per-chain swap permutation via the reference's serial sweep.
 
@@ -47,33 +89,40 @@ def sweep_swap_map(key, lnlike, betas):
     PTMCMCSampler.py:737-739).
     """
     t, c = lnlike.shape
-    us = jax.random.uniform(key, (t - 1, c) if t > 1 else (1, c))
-    swap_map0 = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
-    accepted0 = jnp.zeros((t, c), bool)
-    proposed = jnp.arange(t) < (t - 1)
-
-    def body(step, carry):
-        m, acc = carry
-        i = t - 2 - step  # hottest pair first (reference reversed(range(nchain-1)))
-        mi = m[i]
-        mi1 = m[i + 1]
-        li = jnp.take_along_axis(lnlike, mi[None, :], axis=0)[0]
-        li1 = jnp.take_along_axis(lnlike, mi1[None, :], axis=0)[0]
-        # (1/T_i - 1/T_{i+1}) * (L[m[i+1]] - L[m[i]]), written as in :673-676.
-        dll = jnp.where(jnp.isneginf(li1) & jnp.isneginf(li), 0.0, li1 - li)
-        log_acc = (betas[i] - betas[i + 1]) * dll
-        log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
-        take = jnp.log(jnp.maximum(us[i], 1e-37)) <= log_acc
-        new_mi = jnp.where(take, mi1, mi)
-        new_mi1 = jnp.where(take, mi, mi1)
-        m = m.at[i].set(new_mi).at[i + 1].set(new_mi1)
-        acc = acc.at[i].set(take)
-        return m, acc
-
     if t <= 1:
-        return swap_map0, accepted0, jnp.zeros((t,), bool)
-    m, acc = jax.lax.fori_loop(0, t - 1, body, (swap_map0, accepted0))
-    return m, acc, proposed
+        swap_map0 = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], (t, c))
+        return swap_map0, jnp.zeros((t, c), bool), jnp.zeros((t,), bool)
+    m_rows, acc_rows, _, _ = _sweep_rows(key, lnlike, betas)
+    proposed = jnp.arange(t) < (t - 1)
+    return jnp.stack(m_rows), jnp.stack(acc_rows), proposed
+
+
+def sweep_swap_apply(key, x, lnlike, lnprior, betas):
+    """Sweep replica exchange applied in one pass (no swap-map gathers).
+
+    Returns (x, lnlike, lnprior, accepted [T, C], proposed [T]) — bit-identical
+    to ``apply_swap(sweep_swap_map(...)...)`` but the positions/priors ride the
+    sweep's row exchanges directly instead of a final per-chain gather.
+    """
+    t, c = lnlike.shape
+    if t <= 1:
+        return x, lnlike, lnprior, jnp.zeros((t, c), bool), jnp.zeros((t,), bool)
+    if t > 64:  # bound the unrolled program size for unusually tall ladders
+        swap_map, accepted, proposed = sweep_swap_map(key, lnlike, betas)
+        xg, llg, lpg = apply_swap(swap_map, x, lnlike, lnprior)
+        return xg, llg, lpg, accepted, proposed
+    _, acc_rows, ll_rows, (x_rows, lp_rows) = _sweep_rows(
+        key, lnlike, betas, payload_rows=([x[i] for i in range(t)],
+                                          [lnprior[i] for i in range(t)])
+    )
+    proposed = jnp.arange(t) < (t - 1)
+    return (
+        jnp.stack(x_rows),
+        jnp.stack(ll_rows),
+        jnp.stack(lp_rows),
+        jnp.stack(acc_rows),
+        proposed,
+    )
 
 
 def deo_swap_map(key, lnlike, betas, parity):
@@ -115,11 +164,75 @@ def deo_swap_map(key, lnlike, betas, parity):
 
 
 def apply_swap(swap_map, x, lnlike, lnprior):
-    """Permute replica state rows by the per-chain swap map."""
-    xg = jnp.take_along_axis(x, swap_map[:, :, None], axis=0)
-    llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
-    lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
-    return xg, llg, lpg
+    """Permute replica state rows by the per-chain swap map.
+
+    For the small static temperature counts PT ladders use, the per-chain
+    axis-0 gather is expressed as a masked row sum (T selects per output row)
+    — value-identical, but fully vectorized on TPU where ``take_along_axis``
+    lowers to a slow per-element kCustom gather (~0.5 ms per [8, 8192, 2]
+    permute on a v5e chip).
+    """
+    t = lnlike.shape[0]
+    if t > 16:  # select-sum cost grows as T^2; gathers win for tall ladders
+        xg = jnp.take_along_axis(x, swap_map[:, :, None], axis=0)
+        llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
+        lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
+        return xg, llg, lpg
+    x_rows, ll_rows, lp_rows = [], [], []
+    for i in range(t):
+        sel = swap_map[i]
+        xi, lli, lpi = x[i], lnlike[i], lnprior[i]
+        for j in range(t):
+            if j == i:
+                continue
+            m = sel == j
+            xi = jnp.where(m[:, None], x[j], xi)
+            lli = jnp.where(m, lnlike[j], lli)
+            lpi = jnp.where(m, lnprior[j], lpi)
+        x_rows.append(xi)
+        ll_rows.append(lli)
+        lp_rows.append(lpi)
+    return jnp.stack(x_rows), jnp.stack(ll_rows), jnp.stack(lp_rows)
+
+
+def deo_swap_apply(key, x, lnlike, lnprior, betas, parity):
+    """DEO replica exchange applied as neighbor row selects (no gathers).
+
+    Value-identical to ``apply_swap(deo_swap_map(...)...)``: at a given parity
+    each row only ever exchanges with one fixed neighbor, so the permute is a
+    pair of shifted wheres (the single-device analogue of the sharded
+    ppermute body in :func:`make_sharded_deo`).
+
+    Returns (x, lnlike, lnprior, accepted [T, C], proposed [T]).
+    """
+    t, c = lnlike.shape
+    if t <= 1:
+        return x, lnlike, lnprior, jnp.zeros((t, c), bool), jnp.zeros((t,), bool)
+    us = pair_uniforms(key, t, c)[:-1]  # [T-1, C]
+    lo = jnp.arange(t - 1)
+    is_pair_lo = (lo % 2) == (parity % 2)
+    dll = lnlike[1:] - lnlike[:-1]
+    dll = jnp.where(jnp.isneginf(lnlike[1:]) & jnp.isneginf(lnlike[:-1]), 0.0, dll)
+    log_acc = (betas[:-1, None] - betas[1:, None]) * dll
+    log_acc = jnp.where(jnp.isnan(log_acc), -jnp.inf, log_acc)
+    take = is_pair_lo[:, None] & (jnp.log(jnp.maximum(us, 1e-37)) <= log_acc)
+
+    pad = jnp.zeros((1, c), bool)
+    take_lo = jnp.concatenate([take, pad], axis=0)  # row i swaps with i+1
+    take_hi = jnp.concatenate([pad, take], axis=0)  # row i swaps with i-1
+    up = jnp.roll(lnlike, -1, axis=0)
+    dn = jnp.roll(lnlike, 1, axis=0)
+    new_ll = jnp.where(take_lo, up, jnp.where(take_hi, dn, lnlike))
+    up = jnp.roll(lnprior, -1, axis=0)
+    dn = jnp.roll(lnprior, 1, axis=0)
+    new_lp = jnp.where(take_lo, up, jnp.where(take_hi, dn, lnprior))
+    tl3, th3 = take_lo[:, :, None], take_hi[:, :, None]
+    new_x = jnp.where(
+        tl3, jnp.roll(x, -1, axis=0), jnp.where(th3, jnp.roll(x, 1, axis=0), x)
+    )
+    accepted = jnp.concatenate([take, pad], axis=0)
+    proposed = jnp.concatenate([is_pair_lo, jnp.zeros((1,), bool)])
+    return new_x, new_ll, new_lp, accepted, proposed
 
 
 def make_sharded_deo(mesh, temp_axis, ntemps, parity_fn=None):

