@@ -30,16 +30,23 @@ from .state import SamplerState
 
 
 class BlockOutput(NamedTuple):
-    """Thinned rows emitted by one scanned block."""
+    """Thinned rows emitted by one scanned block.
+
+    On an unsharded run the scalar-per-chain fields are emitted for chain 0
+    only ([rows, T]) — the only column the chain files consume (reference
+    writes one chain per rank, PTMCMCSampler.py:722-746) — which halves the
+    block's emitted HBM traffic; sharded runs keep the full [rows, T, C]
+    (slicing a sharded chain axis inside the step would insert collectives).
+    """
 
     x: jax.Array  # [rows, T, C, D]
-    lnlike: jax.Array  # [rows, T, C]
-    lnprob: jax.Array  # [rows, T, C]
+    lnlike: jax.Array  # [rows, T] (unsharded) or [rows, T, C]
+    lnprob: jax.Array  # [rows, T] (unsharded) or [rows, T, C]
     it: jax.Array  # [rows] iteration number of each emitted row
     # Counter snapshots at each row, so chain files can carry per-row
     # cumulative acceptance columns (reference PTMCMCSampler.py:731-745).
-    naccepted: jax.Array = None  # [rows, T, C]
-    swaps_accepted: jax.Array = None  # [rows, T, C]
+    naccepted: jax.Array = None  # [rows, T] (unsharded) or [rows, T, C]
+    swaps_accepted: jax.Array = None  # [rows, T] (unsharded) or [rows, T, C]
     swaps_proposed: jax.Array = None  # [rows, T]
     traj: object = None  # TrajCapture rows when config.nuts_trajectory
 
@@ -327,17 +334,25 @@ def build_step(
         state = history_updates(state, it)
         return state
 
+    # Emit only the chain-0 column of the per-chain scalars when unsharded
+    # (see BlockOutput docstring).
+    slim = mesh is None
+
+    def _col0(a):
+        return a[:, 0] if slim else a
+
     def record_chunk(state: SamplerState, _):
         """Advance ``thin`` iterations and emit one thinned row
         (reference records when iter % thin == 0, PTMCMCSampler.py:331-335)."""
         state = jax.lax.fori_loop(0, config.thin, lambda i, s: step(s), state)
+        lnprob = utils.tempered_lnprob(state.lnlike, state.lnprior, state.betas[:, None])
         out = BlockOutput(
             x=state.x,
-            lnlike=state.lnlike,
-            lnprob=utils.tempered_lnprob(state.lnlike, state.lnprior, state.betas[:, None]),
+            lnlike=_col0(state.lnlike),
+            lnprob=_col0(lnprob),
             it=state.it,
-            naccepted=state.counters.naccepted,
-            swaps_accepted=state.counters.swaps_accepted,
+            naccepted=_col0(state.counters.naccepted),
+            swaps_accepted=_col0(state.counters.swaps_accepted),
             swaps_proposed=state.counters.swaps_proposed,
             traj=state.traj,
         )

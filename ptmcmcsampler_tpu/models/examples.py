@@ -86,6 +86,33 @@ class CurvedLikelihood:
     def lnpriorfn_grad(self, x):
         return self.lnpriorfn(x), jnp.zeros_like(x)
 
+    def posterior_moments(self, n=2001):
+        """Posterior mean and covariance by 2-D quadrature (f64).
+
+        The density is closed-form and 2-D, so brute-force quadrature gives a
+        ground truth the bench's statistical QA can assert against — this is
+        a bimodal target, so a correct mean requires the PT ladder to get the
+        mass ratio between the two modes right. The grid covers
+        [-6, 6] x [-9, 5]; outside, the log-density is below -17 (checked in
+        tests by grid-refinement agreement), so the truncation error is
+        negligible against the banana ridge's ~0.08 y-width resolved at
+        dy ~ 0.007.
+        """
+        xs = np.linspace(-6.0, 6.0, n)
+        ys = np.linspace(-9.0, 5.0, n)
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        e0 = -(X**2) - (9 + 4 * X**2 + 9 * Y) ** 2
+        e1 = -8 * X**2 - 8 * (Y - 2) ** 2
+        ll = np.logaddexp(e0, np.log(0.5) + e1)
+        w = np.exp(ll - ll.max())
+        z = w.sum()
+        mx = float((w * X).sum() / z)
+        my = float((w * Y).sum() / z)
+        cxx = float((w * (X - mx) ** 2).sum() / z)
+        cyy = float((w * (Y - my) ** 2).sum() / z)
+        cxy = float((w * (X - mx) * (Y - my)).sum() / z)
+        return np.array([mx, my]), np.array([[cxx, cxy], [cxy, cyy]])
+
 
 class HierarchicalGaussian:
     """Linear-Gaussian hierarchy, 50-D by default (BASELINE.json config 4:
@@ -184,3 +211,22 @@ class IntervalTransformedGaussian:
 
     def lnpriorfn_grad(self, p):
         return self.lnpriorfn(p), jnp.zeros_like(p)
+
+    def posterior_moments(self, n=2_000_001):
+        """Posterior mean and covariance of the sampled (logit-space) vector.
+
+        Dimensions are independent and identical: x ~ N(0,1) truncated to
+        (a, b), p = logit((x-a)/(b-a)). Moments of p come from midpoint
+        quadrature in x-space (E[g(p)] = int g(p(x)) phi(x) dx / Z), giving
+        the bench a ground-truth mean for the 40-D gradient-jump workload.
+        """
+        a, b = float(self.a[0]), float(self.b[0])
+        h = (b - a) / n
+        xs = a + (np.arange(n) + 0.5) * h
+        w = np.exp(-0.5 * xs**2)
+        p = np.log(xs - a) - np.log(b - xs)
+        z = w.sum()
+        mean = float((w * p).sum() / z)
+        var = float((w * (p - mean) ** 2).sum() / z)
+        d = int(self.ndim)
+        return np.full(d, mean), np.eye(d) * var

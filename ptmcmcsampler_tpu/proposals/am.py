@@ -17,11 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import draw_am_scale, random_group, switch_over_groups
+from .base import GroupEmbed, draw_am_scale, random_group, switch_over_groups
 
 
 def make_scam(config):
     groups = [np.asarray(g) for g in config.groups]
+    embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
 
     def scam(key, x, beta, it, ctx):
         kg, ks, ki, kn = jax.random.split(key, 4)
@@ -30,20 +31,21 @@ def make_scam(config):
         def branch(gi):
             g = groups[gi]
             sg = len(g)
+            emb = embeds[gi]
 
             def apply(x, scale, ctx):
                 u, s = ctx.group_u[gi], ctx.group_s[gi]
                 ind = jax.random.randint(ki, (), 0, sg)
+                # One-hot contraction instead of u[:, ind]/s[ind]: a traced
+                # per-chain index lowers to a slow per-element gather under
+                # vmap; the dot picks identical values (single 1.0 row).
+                oh = jax.nn.one_hot(ind, sg, dtype=x.dtype)
+                sval = jnp.sqrt(jnp.maximum(s, 0.0)) @ oh
+                vec = u @ oh
                 # neff == 1 always in the reference (:868-870)
                 cd = jnp.asarray(2.4 / np.sqrt(2.0), x.dtype)
-                step = (
-                    jax.random.normal(kn, dtype=x.dtype)
-                    * cd
-                    * scale
-                    * jnp.sqrt(jnp.maximum(s[ind], 0.0))
-                    * u[:, ind]
-                )
-                return x.at[g].add(step)
+                step = jax.random.normal(kn, dtype=x.dtype) * cd * scale * sval * vec
+                return emb.add_at(x, step)
 
             return apply
 
@@ -56,6 +58,7 @@ def make_scam(config):
 
 def make_am(config):
     groups = [np.asarray(g) for g in config.groups]
+    embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
 
     def am(key, x, beta, it, ctx):
         kg, ks, kn = jax.random.split(key, 3)
@@ -65,15 +68,16 @@ def make_am(config):
             g = groups[gi]
             sg = len(g)
             cd0 = np.float64(2.4 / np.sqrt(2.0 * sg))
+            emb = embeds[gi]
 
             def apply(x, scale, ctx):
                 u, s = ctx.group_u[gi], ctx.group_s[gi]
-                y = u.T @ x[g]
+                y = u.T @ emb.take(x)
                 cd = jnp.asarray(cd0, x.dtype) * scale
                 y = y + jax.random.normal(kn, (sg,), dtype=x.dtype) * cd * jnp.sqrt(
                     jnp.maximum(s, 0.0)
                 )
-                return x.at[g].set(u @ y)
+                return emb.set_at(x, u @ y)
 
             return apply
 

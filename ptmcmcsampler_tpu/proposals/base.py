@@ -16,6 +16,7 @@ from __future__ import annotations
 import chex
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @chex.dataclass
@@ -47,6 +48,43 @@ def draw_am_scale(key, beta, dtype):
 def safe_temperature(beta):
     """T = 1/beta with the beta->0 hot chain clamped to a finite huge value."""
     return jnp.where(beta > 0, 1.0 / jnp.maximum(beta, 1e-30), 1e30)
+
+
+class GroupEmbed:
+    """Static helpers expressing per-group gather/scatter as exact matmuls.
+
+    Under vmap over thousands of chains, ``x[g]`` / ``x.at[g].add(...)`` with
+    a *traced-free but fancy* index lower to per-element gathers/scatters that
+    run ~100x slower than dense math on TPU. Since groups are static, the same
+    values are produced exactly (each selection row holds a single 1.0) by
+    tiny matmuls and masked selects.
+    """
+
+    def __init__(self, g, ndim, dtype):
+        g = np.asarray(g)
+        self.identity = bool(np.array_equal(g, np.arange(ndim)))
+        sel = np.zeros((ndim, len(g)), dtype=np.float64)
+        sel[g, np.arange(len(g))] = 1.0
+        mask = np.zeros((ndim,), bool)
+        mask[g] = True
+        self.sel = jnp.asarray(sel, dtype)
+        self.mask = jnp.asarray(mask)
+
+    def take(self, x):
+        """``x[g]``."""
+        return x if self.identity else self.sel.T @ x
+
+    def add_at(self, x, step):
+        """``x.at[g].add(step)``."""
+        if self.identity:
+            return x + step
+        return jnp.where(self.mask, x + self.sel @ step, x)
+
+    def set_at(self, x, vals):
+        """``x.at[g].set(vals)``."""
+        if self.identity:
+            return vals
+        return jnp.where(self.mask, self.sel @ vals, x)
 
 
 def random_group(key, ngroups):

@@ -12,11 +12,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import random_group, safe_temperature, switch_over_groups
+from .base import GroupEmbed, random_group, safe_temperature, switch_over_groups
 
 
 def make_de(config):
     groups = [np.asarray(g) for g in config.groups]
+    embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
 
     def de(key, x, beta, it, ctx):
         kg, km, kn, kp, ku = jax.random.split(key, 5)
@@ -32,11 +33,20 @@ def make_de(config):
         # sqrt(1/beta) per the reference (:976); the hot chain's beta->0 is
         # clamped so f32 stays finite (reference would produce 1e40).
         temp = jnp.minimum(safe_temperature(beta), 1e30)
+        # buf[mm] - buf[nn] as a (+1, -1) one-hot contraction over the ring:
+        # per-chain row gathers lower to ~0.4 ms kCustom fusions at [8x8192]
+        # on TPU, while the vmapped dot rides the MXU. Exact: the contraction
+        # holds a single +1.0 and a single -1.0 (same index draws).
+        rows = ctx.de_buf.shape[0]
+        iota = jnp.arange(rows)
+        ohd = (iota == mm).astype(x.dtype) - (iota == nn).astype(x.dtype)
+        sigma_full = ohd @ ctx.de_buf.astype(x.dtype)  # [D] = buf[mm] - buf[nn]
 
         def branch(gi):
             g = groups[gi]
             sg = len(g)
             base = np.float64(2.4 / np.sqrt(2.0 * sg))
+            emb = embeds[gi]
 
             def apply(x, ctx):
                 scale = jnp.where(
@@ -45,8 +55,8 @@ def make_de(config):
                     (jax.random.uniform(ku, dtype=x.dtype) * jnp.asarray(base, x.dtype))
                     * jnp.sqrt(temp).astype(x.dtype),
                 )
-                sigma = ctx.de_buf[mm][g] - ctx.de_buf[nn][g]
-                return x.at[g].add(scale * sigma)
+                sigma = emb.take(sigma_full)
+                return emb.add_at(x, scale * sigma)
 
             return apply
 

@@ -75,7 +75,9 @@ def make_mala(config, func_grad):
         # Whitened space: eigenvectors are the identity, eigenvalues 1
         # (nutsjump.py:193-198).
         i = jax.random.randint(ki, (), 0, ndim)
-        vec = jnp.zeros((ndim,), x.dtype).at[i].set(1.0)
+        # one_hot, not .at[i].set: a traced index scatter per vmapped chain
+        # lowers to a slow per-element scatter on TPU.
+        vec = jax.nn.one_hot(i, ndim, dtype=x.dtype)
         dist = jax.random.normal(kd, dtype=x.dtype)
 
         cdt = cd.astype(x.dtype)

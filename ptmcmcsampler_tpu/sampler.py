@@ -981,19 +981,25 @@ class PTSampler:
                 state, out, it, tstart, Niter, writer, config
             )
         x = utils.host_array(out.x)  # [rows, T, C, D]
-        lnlike = utils.host_array(out.lnlike)
-        lnprob = utils.host_array(out.lnprob)
+
+        def col0(a):
+            """Chain-0 column: slim ([rows, T]) and full ([rows, T, C]) blocks."""
+            a = utils.host_array(a)
+            return a[:, :, 0] if a.ndim == 3 else a
+
+        lnlike = col0(out.lnlike)  # [rows, T]
+        lnprob = col0(out.lnprob)  # [rows, T]
         its = utils.host_array(out.it).astype(np.int64)  # [rows]
-        nacc = utils.host_array(out.naccepted)  # [rows, T, C]
-        sacc = utils.host_array(out.swaps_accepted)  # [rows, T, C]
+        nacc = col0(out.naccepted)  # [rows, T]
+        sacc = col0(out.swaps_accepted)  # [rows, T]
         sprop = utils.host_array(out.swaps_proposed)  # [rows, T]
         ctr = jax.device_get(state.counters)
         rows = x.shape[0]
 
         self._chain_host.append(x[:, 0, 0, :])
         self._chains_host.append(x[:, 0, :, :])
-        self._lnlike_host.append(lnlike[:, 0, 0])
-        self._lnprob_host.append(lnprob[:, 0, 0])
+        self._lnlike_host.append(lnlike[:, 0])
+        self._lnprob_host.append(lnprob[:, 0])
         # Bound the all-chain in-RAM window (the full history is on disk in
         # chain_all_<T>.bin); drop oldest blocks past the byte budget.
         cap_rows = max(
@@ -1022,11 +1028,11 @@ class PTSampler:
         for ti in range(self.ntemps):
             # Per-row cumulative rates, as the reference writes them
             # (PTMCMCSampler.py:731-745), from the per-row counter snapshots.
-            acc_rate = nacc[:, ti, 0] / denom
+            acc_rate = nacc[:, ti] / denom
             if ti < self.ntemps - 1:
                 pt_acc = np.where(
                     sprop[:, ti] > 0,
-                    sacc[:, ti, 0] / np.maximum(sprop[:, ti], 1),
+                    sacc[:, ti] / np.maximum(sprop[:, ti], 1),
                     1.0,
                 )
             else:
@@ -1034,8 +1040,8 @@ class PTSampler:
             writer.append(
                 ti,
                 x[:, ti, 0, :],
-                lnprob[:, ti, 0],
-                lnlike[:, ti, 0],
+                lnprob[:, ti],
+                lnlike[:, ti],
                 acc_rate,
                 pt_acc,
             )
