@@ -95,6 +95,12 @@ class SamplerConfig:
     # (PROFILE_r04.md).
     pallas_nuts_block_n: int = 128
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
+    # DE pair selection: "rolled" (default; one shared ordered-distinct shift
+    # pair per iteration — per-chain marginal law identical to the reference,
+    # gather-free on TPU) or "iid" (reference-literal independent pairs per
+    # chain; costs a per-element gather at large chain batches). See
+    # proposals/de.py.
+    de_pair: str = "rolled"
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"
     # Adaptive temperature-ladder geometry (Vousden+ 2016; beyond-reference,
@@ -140,6 +146,8 @@ class SamplerConfig:
             raise ValueError(f"unknown jump_select {self.jump_select!r}")
         if self.swap_mode not in ("sweep", "deo"):
             raise ValueError(f"unknown swap_mode {self.swap_mode!r}")
+        if self.de_pair not in ("rolled", "iid"):
+            raise ValueError(f"unknown de_pair {self.de_pair!r}")
         if self.nuts_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown nuts_impl {self.nuts_impl!r}")
         if self.pallas_nuts_block_n < 128 or self.pallas_nuts_block_n % 128:

@@ -169,7 +169,15 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
         )
     branches = []
     for spec in config.jumps:
-        if spec.kind == KIND_CHEES:
+        if spec.kind == KIND_DE and config.de_pair == "rolled":
+            # Batch-level kernel: the shared shift pair is drawn once per
+            # iteration for the whole replica block (proposals/de.py).
+            kernel = de.make_de_batch(config)
+
+            def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
+                return _kernel(keys, x, betas, it, ctx, ss)
+
+        elif spec.kind == KIND_CHEES:
             # Batch-level kernel: needs cross-chain reductions for the ChEES
             # criterion, so it is not vmapped per chain.
             kernel = chees.make_chees(config, func_grad)

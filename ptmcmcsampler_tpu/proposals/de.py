@@ -4,6 +4,23 @@ Parity target: ``DEJump`` (PTMCMCSampler.py:936-985): pick two distinct rows
 of the history buffer, jump along their difference restricted to a random
 parameter group; with prob 0.5 a "mode jump" (scale=1.0), else
 ``uniform() * 2.4/sqrt(2*sg) * sqrt(1/beta)``. Symmetric (log_qxy = 0).
+
+Two pair-selection modes (``SamplerConfig.de_pair``):
+
+* ``"rolled"`` (default) — one shared ordered-distinct shift pair (s1, s2)
+  per iteration; chain ``c`` uses buffer rows ((c+s1) % n, (c+s2) % n).
+  For EVERY chain the marginal pair law is exactly the reference's uniform
+  ordered-distinct draw (the map s -> (c+s) % n is a bijection for fixed c),
+  and with nchains=1 the scheme degenerates to the reference's one pair per
+  iteration. Only the *joint* selection across chains is correlated — a
+  mixture over (s1, s2) of product kernels, each of which preserves the
+  product posterior, so stationarity is exact (statistical equivalence to
+  iid pairs is asserted in tests/test_de_modes.py). TPU motivation: the
+  full buffer difference is two rolls and a subtract, where per-chain iid
+  rows cost a ~0.4 ms per-element gather per call at [8x8192] (and a
+  one-hot matmul measured even worse, 0.93 ms — round-5 trace).
+* ``"iid"`` — the reference's literal law: independent uniform
+  ordered-distinct rows per chain, via gather.
 """
 
 from __future__ import annotations
@@ -15,7 +32,33 @@ import numpy as np
 from .base import GroupEmbed, random_group, safe_temperature, switch_over_groups
 
 
+def _de_scale_and_apply(groups, embeds, prob, ku, temp, sigma_full, x, kg):
+    """Shared group-restricted application of a DE difference vector."""
+
+    def branch(gi):
+        g = groups[gi]
+        sg = len(g)
+        base = np.float64(2.4 / np.sqrt(2.0 * sg))
+        emb = embeds[gi]
+
+        def apply(x):
+            scale = jnp.where(
+                prob > 0.5,
+                jnp.asarray(1.0, x.dtype),
+                (jax.random.uniform(ku, dtype=x.dtype) * jnp.asarray(base, x.dtype))
+                * jnp.sqrt(temp).astype(x.dtype),
+            )
+            sigma = emb.take(sigma_full)
+            return emb.add_at(x, scale * sigma)
+
+        return apply
+
+    gidx = random_group(kg, len(groups))
+    return switch_over_groups(gidx, [branch(i) for i in range(len(groups))], x)
+
+
 def make_de(config):
+    """Per-chain iid pair draws (reference-literal law; gather-based)."""
     groups = [np.asarray(g) for g in config.groups]
     embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
 
@@ -33,35 +76,66 @@ def make_de(config):
         # sqrt(1/beta) per the reference (:976); the hot chain's beta->0 is
         # clamped so f32 stays finite (reference would produce 1e40).
         temp = jnp.minimum(safe_temperature(beta), 1e30)
-        # buf[mm] - buf[nn] as a (+1, -1) one-hot contraction over the ring:
-        # per-chain row gathers lower to ~0.4 ms kCustom fusions at [8x8192]
-        # on TPU, while the vmapped dot rides the MXU. Exact: the contraction
-        # holds a single +1.0 and a single -1.0 (same index draws).
-        rows = ctx.de_buf.shape[0]
-        iota = jnp.arange(rows)
-        ohd = (iota == mm).astype(x.dtype) - (iota == nn).astype(x.dtype)
-        sigma_full = ohd @ ctx.de_buf.astype(x.dtype)  # [D] = buf[mm] - buf[nn]
-
-        def branch(gi):
-            g = groups[gi]
-            sg = len(g)
-            base = np.float64(2.4 / np.sqrt(2.0 * sg))
-            emb = embeds[gi]
-
-            def apply(x, ctx):
-                scale = jnp.where(
-                    prob > 0.5,
-                    jnp.asarray(1.0, x.dtype),
-                    (jax.random.uniform(ku, dtype=x.dtype) * jnp.asarray(base, x.dtype))
-                    * jnp.sqrt(temp).astype(x.dtype),
-                )
-                sigma = emb.take(sigma_full)
-                return emb.add_at(x, scale * sigma)
-
-            return apply
-
-        gidx = random_group(kg, len(groups))
-        q = switch_over_groups(gidx, [branch(i) for i in range(len(groups))], x, ctx)
+        sigma_full = ctx.de_buf[mm] - ctx.de_buf[nn]
+        q = _de_scale_and_apply(groups, embeds, prob, ku, temp, sigma_full, x, kg)
         return q, jnp.zeros((), x.dtype)
 
     return de
+
+
+def make_de_batch(config):
+    """Shared-shift ("rolled") pair draws: gather-free batch DE kernel.
+
+    Branch signature matches the batch-level protocol of
+    ``build_jump_branches``: (keys [T,C,...], x [T,C,D], betas [T], it, ctx,
+    ss) -> (q, qxy, ss).
+    """
+    groups = [np.asarray(g) for g in config.groups]
+    embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
+
+    def de_batch(keys, x, betas, it, ctx, ss):
+        t, c, d = x.shape
+        rows = ctx.de_buf.shape[0]
+        nvalid = jnp.maximum(ctx.de_valid, 2)
+        # Shared shift pair, one per iteration: derived by fold_in from the
+        # (0,0) chain key so it is independent of every per-chain split
+        # stream used below.
+        skey = jax.random.fold_in(keys[0, 0], 7919)
+        k1, k2 = jax.random.split(skey)
+        s1 = jax.random.randint(k1, (), 0, nvalid)
+        s2 = jax.random.randint(k2, (), 0, nvalid - 1)
+        s2 = s2 + (s2 >= s1)
+
+        def full_case(_):
+            # Buffer fully valid (the steady state): rows == nvalid, so
+            # (c + s) % nvalid is a roll — no gather. Tiling covers the
+            # (unusual) case of more chains than ring rows: the row pattern
+            # repeats with period ``rows``.
+            b1 = jnp.roll(ctx.de_buf, -s1, axis=0)
+            b2 = jnp.roll(ctx.de_buf, -s2, axis=0)
+            diff = b1 - b2
+            if rows < c:
+                diff = jnp.tile(diff, (-(-c // rows), 1))
+            return diff[:c]
+
+        def partial_case(_):
+            # Rare early-run case (DE selected while the ring is part-full):
+            # per-chain modulo needs a real gather.
+            idx1 = (jnp.arange(c) + s1) % nvalid
+            idx2 = (jnp.arange(c) + s2) % nvalid
+            return ctx.de_buf[idx1] - ctx.de_buf[idx2]
+
+        d_all = jax.lax.cond(nvalid == rows, full_case, partial_case, None)  # [C, D]
+
+        temps = jnp.minimum(safe_temperature(betas), 1e30)  # [T]
+
+        def per_chain(key, x1, temp, sig):
+            kg, kp, ku = jax.random.split(key, 3)
+            prob = jax.random.uniform(kp)
+            return _de_scale_and_apply(groups, embeds, prob, ku, temp, sig, x1, kg)
+
+        per_temp = jax.vmap(per_chain, in_axes=(0, 0, None, 0))
+        q = jax.vmap(per_temp, in_axes=(0, 0, 0, None))(keys, x, temps, d_all)
+        return q, jnp.zeros((t, c), x.dtype), ss
+
+    return de_batch

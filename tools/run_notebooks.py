@@ -30,6 +30,15 @@ def main():
     for name in names:
         path = EXAMPLES / f"{name}.ipynb"
         nb = nbformat.read(path, as_version=4)
+        # Force the CPU backend from inside the kernel: on the axon TPU
+        # container the JAX_PLATFORMS env var is ignored by the plugin, and
+        # the smoke run must not contend for the single TPU chip.
+        nb.cells.insert(
+            0,
+            nbformat.v4.new_code_cell(
+                "import jax\njax.config.update('jax_platforms', 'cpu')"
+            ),
+        )
         t0 = time.time()
         print(f"[notebooks] executing {name}...", flush=True)
         with tempfile.TemporaryDirectory() as wd:
