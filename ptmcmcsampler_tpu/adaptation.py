@@ -23,19 +23,19 @@ from .state import AdaptState, DEState
 
 
 def welford_batch_update(adapt: AdaptState, xs: jax.Array) -> AdaptState:
-    """Merge a batch of samples ``xs [m, D]`` into the running (mean, M2).
+    """Merge a batch of samples ``xs [D, m]`` (chain-minor) into (mean, M2).
 
     Chan et al. parallel update — exactly equivalent to feeding the ``m``
     samples one-by-one through the reference's sequential recursion
     (PTMCMCSampler.py:785-792), but expressed as matmuls so XLA maps the
     scatter update onto the MXU.
     """
-    m = xs.shape[0]
+    m = xs.shape[1]
     n = adapt.count
     nf = jnp.asarray(m, jnp.float32)
-    batch_mean = jnp.mean(xs, axis=0)
-    centered = xs - batch_mean
-    batch_m2 = centered.T @ centered  # [D, D] — MXU
+    batch_mean = jnp.mean(xs, axis=1)
+    centered = xs - batch_mean[:, None]
+    batch_m2 = centered @ centered.T  # [D, D] — MXU
     delta = batch_mean - adapt.mean
     # Kahan-compensated count increment: exact integer accumulation long
     # after plain f32 would saturate (ulp > batch size near 3e10 samples).
@@ -92,20 +92,29 @@ def refresh_factors(config: SamplerConfig, adapt: AdaptState) -> AdaptState:
 
 
 def de_buffer_push(de: DEState, xs: jax.Array) -> DEState:
-    """Append ``xs [m, D]`` rows to the ring buffer.
+    """Append ``xs [D, m]`` columns to the ring buffer (``buf [D, B]``).
 
     The reference refreshes its DE buffer every ``burn`` iterations by bulk
     shift-and-append of the AM buffer (PTMCMCSampler.py:806-817); the
     device-resident ring achieves the same "recent cold-chain history" pool
-    with a rolling dynamic-slice write per iteration.
+    with a rolling write per iteration. The write is expressed as a masked
+    roll, not ``.at[idx].set``: the traced-index scatter cost ~28 us/iter at
+    [8192, 2] on TPU, while roll+select is dense (identical values — a roll
+    only repositions).
     """
-    rows = de.buf.shape[0]
-    m = xs.shape[0]
+    rows = de.buf.shape[1]
+    m = xs.shape[1]
     start = jnp.mod(de.filled, rows)
-    idx = (start + jnp.arange(m)) % rows
-    buf = de.buf.at[idx].set(xs.astype(de.buf.dtype))
+    vals = xs.astype(de.buf.dtype)
+    if m < rows:
+        vals = jnp.pad(vals, ((0, 0), (0, rows - m)))
+    # rolled[:, j] = vals[:, (j - start) % rows], so column (start+i) % rows
+    # holds xs[:, i] — the ring-write law.
+    rolled = jnp.roll(vals, start, axis=1)
+    mask = (jnp.arange(rows) - start) % rows < m
+    buf = jnp.where(mask, rolled, de.buf)
     return de.replace(buf=buf, filled=de.filled + m)
 
 
 def de_valid_rows(de: DEState) -> jax.Array:
-    return jnp.minimum(de.filled, de.buf.shape[0])
+    return jnp.minimum(de.filled, de.buf.shape[1])

@@ -95,6 +95,12 @@ class SamplerConfig:
     # (PROFILE_r04.md).
     pallas_nuts_block_n: int = 128
     jump_select: str = "shared"  # "shared": one kind/iteration; "per_chain"
+    # per_chain implementation: "auto" uses the rotation scheme (random
+    # rotation into a static weight-proportional slot layout; every branch
+    # runs once on a contiguous chain slice) for nchains >= 128 and the
+    # stacked evaluate-all-branches fallback below that; "rotation"/"stacked"
+    # force one. Rotation quantizes weights to the nearest 1/nchains.
+    per_chain_mode: str = "auto"
     # DE pair selection: "rolled" (default; one shared ordered-distinct shift
     # pair per iteration — per-chain marginal law identical to the reference,
     # gather-free on TPU) or "iid" (reference-literal independent pairs per
@@ -157,22 +163,23 @@ class SamplerConfig:
                 "pallas_nuts_block_n must be a positive multiple of 128 "
                 f"(got {self.pallas_nuts_block_n})"
             )
+        if self.per_chain_mode not in ("auto", "rotation", "stacked"):
+            raise ValueError(f"unknown per_chain_mode {self.per_chain_mode!r}")
         if self.jump_select == "per_chain":
             for j in self.jumps:
-                if j.kind in GRADIENT_KINDS:
-                    raise ValueError(
-                        "per_chain jump selection cannot mix gradient jumps; "
-                        "use jump_select='shared'"
-                    )
                 if j.protocol == "legacy":
-                    # per_chain evaluates EVERY branch each iteration; a
-                    # host-callback branch would do ntemps*nchains host
-                    # round-trips per iteration regardless of selection.
+                    # The stacked fallback evaluates EVERY branch each
+                    # iteration; a host-callback branch would do
+                    # ntemps*nchains host round-trips per iteration.
                     raise ValueError(
                         f"per_chain jump selection cannot include the "
                         f"host-callback (numpy) jump {j.name!r}; pass a "
                         f"JAX-traceable jump or use jump_select='shared'"
                     )
+            if self.nuts_trajectory:
+                raise ValueError(
+                    "NUTS trajectory capture requires jump_select='shared'"
+                )
 
     @property
     def njumps(self):

@@ -109,10 +109,22 @@ def load_checkpoint(path, template_state):
             loaded.append(jax.random.wrap_key_data(new, impl=impl))
             continue
         if np.shape(tpl) != new.shape:
-            raise ValueError(
-                f"checkpoint leaf {name!r} shape {new.shape} does not match "
-                f"current config {np.shape(tpl)}"
-            )
+            # Round-5 layout migration: positions went chain-minor
+            # ([T, C, D] -> [T, D, C]) and the DE ring [B, D] -> [D, B].
+            # Old checkpoints transpose losslessly.
+            if name == "x" and new.ndim == 3 and np.shape(tpl) == (
+                new.shape[0], new.shape[2], new.shape[1]
+            ):
+                new = np.moveaxis(new, 2, 1)
+            elif name == "de/buf" and new.ndim == 2 and np.shape(tpl) == (
+                new.shape[1], new.shape[0]
+            ):
+                new = new.T
+            else:
+                raise ValueError(
+                    f"checkpoint leaf {name!r} shape {new.shape} does not "
+                    f"match current config {np.shape(tpl)}"
+                )
         loaded.append(new)
     meta = None
     if os.path.isfile(path + ".json"):

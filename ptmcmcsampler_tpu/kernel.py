@@ -21,9 +21,10 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import adaptation, swaps, utils
-from .config import SamplerConfig
+from .config import KIND_CHEES, SamplerConfig
 from .proposals.base import ProposalContext
 from .proposals.cycle import build_aux_chain, build_jump_branches, jump_probabilities
 from .state import SamplerState
@@ -39,7 +40,7 @@ class BlockOutput(NamedTuple):
     (slicing a sharded chain axis inside the step would insert collectives).
     """
 
-    x: jax.Array  # [rows, T, C, D]
+    x: jax.Array  # [rows, T, D, C] (chain-minor, like SamplerState.x)
     lnlike: jax.Array  # [rows, T] (unsharded) or [rows, T, C]
     lnprob: jax.Array  # [rows, T] (unsharded) or [rows, T, C]
     it: jax.Array  # [rows] iteration number of each emitted row
@@ -134,8 +135,10 @@ def build_step(
     ):
         sharded_deo = swaps.make_sharded_deo(mesh, temp_axis, t)
 
-    logl_b = jax.vmap(jax.vmap(logl))
-    logp_b = jax.vmap(jax.vmap(logp))
+    # Chain-minor batching: x is [T, D, C]; the inner vmap maps the minor
+    # chain axis, the outer the temperature axis.
+    logl_b = jax.vmap(jax.vmap(logl, in_axes=-1))
+    logp_b = jax.vmap(jax.vmap(logp, in_axes=-1))
 
     branches = build_jump_branches(config, func_grad, logp=logp)
     aux_chain = build_aux_chain(config)
@@ -156,6 +159,107 @@ def build_step(
                 nuts_idx = _i
         if nuts_idx is not None:
             capture_kernel = _nuts_mod.make_nuts(config, func_grad, capture=True)
+
+    # ---- per_chain rotation machinery -------------------------------------
+    # The reference's law is a fresh independent kind draw per rank per
+    # iteration (PTMCMCSampler.py:1058-1059). Evaluating every branch and
+    # masking (the "stacked" fallback below) pays every family's cost each
+    # iteration; the TPU-native scheme instead draws ONE random rotation r
+    # per iteration and assigns chain c the kind of slot (c + r) % C in a
+    # static weight-proportional layout. Each chain's marginal kind law is
+    # the weight distribution (quantized to 1/nchains by largest-remainder
+    # rounding), selection is independent of all chain state, and every
+    # branch runs once on a contiguous static slice — no gathers, no wasted
+    # branch evaluations. Cross-chain correlation of the kind assignment is
+    # the same flavor of (valid) deviation as jump_select="shared".
+    per_chain_rotation = None
+    if (
+        config.jump_select == "per_chain"
+        and config.per_chain_mode in ("auto", "rotation")
+        and (config.per_chain_mode == "rotation" or c >= 128)
+    ):
+        w_np, act_np = config.weights_and_activation()
+        thresholds = sorted({int(a) for a in act_np if int(a) > 0})
+
+        def _partition(crossed):
+            active = np.array(
+                [(int(a) == 0) or (int(a) in crossed) for a in act_np]
+            )
+            probs = w_np * active
+            raw = probs / probs.sum() * c
+            counts = np.floor(raw).astype(int)
+            frac = raw - counts
+            frac[~active] = -1.0
+            for k in np.argsort(-frac)[: c - counts.sum()]:
+                counts[k] += 1
+            return counts
+
+        chees_fields = tuple(f for f in _SS_FIELDS if f.startswith("chees_"))
+
+        def make_phase_fn(counts):
+            counts = [int(n) for n in counts]
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            layout_j = jnp.asarray(
+                np.concatenate(
+                    [np.full(n, j, np.int32) for j, n in enumerate(counts)]
+                    or [np.zeros(0, np.int32)]
+                )
+            )
+
+            def phase_fn(r, keys, x, betas, it, ctx, ss):
+                # chain c sits at slot s = (c + r) % C  =>  slots = roll(., r)
+                x_rot = jnp.roll(x, r, axis=-1)
+                ss_rot = {f: jnp.roll(v, r, axis=-1) for f, v in ss.items()}
+                q_parts, qxy_parts = [], []
+                ss_parts = {f: [] for f in _SS_FIELDS}
+                chees_update = None
+                for j, n in enumerate(counts):
+                    if n == 0:
+                        continue
+                    sl = slice(int(offs[j]), int(offs[j]) + n)
+                    ss_j = {f: v[:, sl] for f, v in ss_rot.items()}
+                    qj, qxyj, ssj = branches[j](
+                        keys[:, sl], x_rot[:, :, sl], betas, it, ctx, ss_j
+                    )
+                    q_parts.append(qj)
+                    qxy_parts.append(qxyj)
+                    for f in _SS_FIELDS:
+                        ss_parts[f].append(ssj[f])
+                    if config.jumps[j].kind == KIND_CHEES:
+                        chees_update = ssj
+                q_rot = jnp.concatenate(q_parts, axis=-1)
+                qxy_rot = jnp.concatenate(qxy_parts, axis=-1)
+                new_ss = {
+                    f: jnp.roll(jnp.concatenate(ss_parts[f], axis=-1), -r, axis=-1)
+                    for f in _SS_FIELDS
+                }
+                if chees_update is not None:
+                    # chees_* entries are per-temperature scalars replicated
+                    # over chains; broadcast the ChEES slice's update rowwide.
+                    for f in chees_fields:
+                        new_ss[f] = jnp.broadcast_to(
+                            chees_update[f][:, :1], (t, c)
+                        ).astype(ss[f].dtype)
+                q = jnp.roll(q_rot, -r, axis=-1)
+                qxy = jnp.roll(qxy_rot, -r, axis=-1)
+                jidx_full = jnp.broadcast_to(jnp.roll(layout_j, -r)[None, :], (t, c))
+                return q, qxy, jidx_full, new_ss
+
+            return phase_fn
+
+        phase_fns = [
+            make_phase_fn(_partition(set(thresholds[:pi])))
+            for pi in range(len(thresholds) + 1)
+        ]
+
+        def per_chain_rotation(k_kind, keys, x, betas, it, ctx, ss):
+            r = jax.random.randint(k_kind, (), 0, c)
+            if len(phase_fns) == 1:
+                return phase_fns[0](r, keys, x, betas, it, ctx, ss)
+            phase = jnp.zeros((), jnp.int32)
+            for thr in thresholds:
+                phase = phase + (it > thr).astype(jnp.int32)
+            return jax.lax.switch(phase, phase_fns, r, keys, x, betas, it, ctx, ss)
 
     def propose(key, state: SamplerState, it):
         """Draw a jump from the cycle and apply it (reference ``_jump``,
@@ -178,22 +282,41 @@ def build_step(
                 def _do_cap(_):
                     ss00 = {k: v[0, 0] for k, v in ss.items()}
                     _, _, _, cp = capture_kernel(
-                        keys[0, 0], state.x[0, 0], state.betas[0], it, ctx, ss00
+                        keys[0, 0], state.x[0, :, 0], state.betas[0], it, ctx, ss00
                     )
                     return TrajCapture(**cp)
 
                 cap = jax.lax.cond(
                     jidx == nuts_idx, _do_cap, lambda _: empty_capture(config), None
                 )
+        elif per_chain_rotation is not None:
+            q, qxy, jidx_full, new_ss = per_chain_rotation(
+                k_kind, keys, state.x, state.betas, it, ctx, ss
+            )
         else:
             jidx_full = jax.random.categorical(k_kind, logits, shape=(t, c))
-            # Evaluate every (cheap) branch and select per chain.
+            # Evaluate every branch and select per chain (small chain counts;
+            # gradient branches pay their full cost but the batch is small).
             outs = [b(keys, state.x, state.betas, it, ctx, ss) for b in branches]
-            qs = jnp.stack([o[0] for o in outs])  # [J, T, C, D]
+            qs = jnp.stack([o[0] for o in outs])  # [J, T, D, C]
             qxys = jnp.stack([o[1] for o in outs])  # [J, T, C]
-            q = jnp.take_along_axis(qs, jidx_full[None, :, :, None], axis=0)[0]
+            q = jnp.take_along_axis(qs, jidx_full[:, None][None], axis=0)[0]
             qxy = jnp.take_along_axis(qxys, jidx_full[None], axis=0)[0]
-            new_ss = ss
+            # Per-chain step-size state takes the selected branch's update;
+            # per-temperature (chees_*) fields take the ChEES branch's update
+            # wherever any chain in the row ran ChEES.
+            new_ss = dict(ss)
+            for j, o in enumerate(outs):
+                oss = o[2]
+                sel = jidx_full == j
+                for f in ss:
+                    if oss[f] is ss[f]:
+                        continue
+                    if f.startswith("chees_"):
+                        row_has = jnp.any(sel, axis=1, keepdims=True)
+                        new_ss[f] = jnp.where(row_has, oss[f], new_ss[f])
+                    else:
+                        new_ss[f] = jnp.where(sel, oss[f], new_ss[f])
 
         if aux_chain is not None:
             aux_keys = utils.split_grid(k_aux, (t, c, n_aux))
@@ -210,7 +333,7 @@ def build_step(
         # (reference short-circuit, PTMCMCSampler.py:605-612).
         new_lp = logp_b(q)
         feasible = ~jnp.isneginf(new_lp)
-        q_safe = jnp.where(feasible[:, :, None], q, state.x)
+        q_safe = jnp.where(feasible[:, None, :], q, state.x)
         new_ll = jnp.where(feasible, logl_b(q_safe), -jnp.inf)
 
         betas = state.betas[:, None]
@@ -218,7 +341,7 @@ def build_step(
         u = jax.random.uniform(k_acc, (t, c))
         accept = logr > jnp.log(jnp.maximum(u, 1e-37))
 
-        x = jnp.where(accept[:, :, None], q, state.x)
+        x = jnp.where(accept[:, None, :], q, state.x)
         lnlike = jnp.where(accept, new_ll, state.lnlike)
         lnprior = jnp.where(accept, new_lp, state.lnprior)
 
@@ -306,9 +429,10 @@ def build_step(
         """Post-step history: Welford moments, DE ring, cadenced factor refresh
         (reference updateChains :321-339 + _updateRecursive/_updateDEbuffer)."""
         if config.adapt_from == "all":
-            xs = state.x.reshape(t * c, config.ndim)
+            # [T, D, C] -> [D, T*C] (one transpose per iteration; non-default)
+            xs = jnp.moveaxis(state.x, 1, 0).reshape(config.ndim, t * c)
         else:
-            xs = state.x[0]  # cold-temperature chains (reference: rank 0, :327)
+            xs = state.x[0]  # [D, C] cold-temperature chains (reference rank 0, :327)
         adapt = adaptation.welford_batch_update(state.adapt, xs)
         de = adaptation.de_buffer_push(state.de, state.x[0])
 

@@ -43,14 +43,14 @@ def state_sharding(state: SamplerState, mesh: Mesh, axis="temp", chain_axis=None
     scalars are replicated.
     """
     t = state.x.shape[0]
-    c = state.x.shape[1]
+    c = state.x.shape[2]  # x is chain-minor [T, D, C]
 
     def spec_for(path, leaf):
         names = [getattr(p, "name", str(p)) for p in path]
         field = names[-1] if names else ""
         shape = np.shape(leaf)
         if field in ("x",):
-            return P(axis, chain_axis, None)
+            return P(axis, None, chain_axis)
         # swaps_accepted_lad is the ladder-adaptation snapshot of
         # swaps_accepted and must share its [T, C] placement (a replicated
         # snapshot would force GSPMD reshards on every windowed-rate delta);

@@ -61,13 +61,14 @@ def make_chees(config, func_grad):
     eps0 = config.hmc_stepsize
 
     def chees(keys, x, betas, it, ctx, ss):
-        """Batched kernel over the full [T, C] replica block.
+        """Batched kernel over the full [T, C] replica block; ``x`` is
+        chain-minor [T, D, C].
 
         ``ss`` holds [T, C] arrays; the chees_* entries are constant across
         the chain axis (they are per-temperature scalars, replicated so the
         step-size pytree keeps a uniform [T, C] layout).
         """
-        t, c, d = x.shape
+        t, d, c = x.shape
         dt = x.dtype
 
         def split4(k):
@@ -87,16 +88,20 @@ def make_chees(config, func_grad):
             jnp.ceil(tau / eps_t), 1, max_steps
         ).astype(jnp.int32)  # [T, C]
 
-        fwd = jax.vmap(jax.vmap(lambda xx: forward(ctx, xx)))
-        q0 = fwd(x)  # [T, C, D] whitened
+        fwd = jax.vmap(jax.vmap(lambda xx: forward(ctx, xx), in_axes=-1, out_axes=-1))
+        q0 = fwd(x)  # [T, D, C] whitened
         fgw_b = jax.vmap(
-            jax.vmap(lambda qq, b: fgw(ctx, qq, b), in_axes=(0, None)),
+            jax.vmap(
+                lambda qq, b: fgw(ctx, qq, b), in_axes=(-1, None), out_axes=(0, -1)
+            ),
             in_axes=(0, 0),
         )
         logp0, grad0 = fgw_b(q0, betas)
 
-        r0 = jax.vmap(jax.vmap(lambda k: jax.random.normal(k, (d,), dtype=dt)))(k_mom)
-        k0 = 0.5 * jnp.sum(r0 * r0, axis=-1)
+        r0 = jax.vmap(
+            jax.vmap(lambda k: jax.random.normal(k, (d,), dtype=dt), out_axes=-1)
+        )(k_mom)  # [T, D, C]
+        k0 = 0.5 * jnp.sum(r0 * r0, axis=1)
 
         if config.use_pallas:
             # Fused trajectory kernel: whole leapfrog loop in VMEM with the
@@ -106,8 +111,8 @@ def make_chees(config, func_grad):
 
             n = t * c
             z1f, r1f, logp1f = fused_chees_trajectories(
-                q0.reshape(n, d),
-                r0.reshape(n, d),
+                jnp.moveaxis(q0, 1, 2).reshape(n, d),
+                jnp.moveaxis(r0, 1, 2).reshape(n, d),
                 jnp.repeat(betas, c).astype(dt),
                 eps_t.reshape(n),
                 nsteps.reshape(n),
@@ -116,14 +121,15 @@ def make_chees(config, func_grad):
                 ndim=d,
                 max_steps=max_steps,
             )
-            z1 = z1f.reshape(t, c, d)
-            r1 = r1f.reshape(t, c, d)
+            z1 = jnp.moveaxis(z1f.reshape(t, c, d), 1, 2)
+            r1 = jnp.moveaxis(r1f.reshape(t, c, d), 1, 2)
             logp1 = logp1f.reshape(t, c)
         else:
             lf = jax.vmap(
                 jax.vmap(
                     lambda z, r, g, e, b: leapfrog(fgw, ctx, b, z, r, g, e),
-                    in_axes=(0, 0, 0, 0, None),
+                    in_axes=(-1, -1, -1, 0, None),
+                    out_axes=(-1, -1, -1, 0),
                 ),
                 in_axes=(0, 0, 0, 0, 0),
             )
@@ -133,11 +139,12 @@ def make_chees(config, func_grad):
             def body(carry):
                 i, z, r, g, logp = carry
                 zn, rn, gn, logpn = lf(z, r, g, eps_t, betas)
-                active = (i < nsteps)[..., None]
-                z = jnp.where(active, zn, z)
-                r = jnp.where(active, rn, r)
-                g = jnp.where(active, gn, g)
-                logp = jnp.where(active[..., 0], logpn, logp)
+                active = i < nsteps  # [T, C]
+                act3 = active[:, None, :]
+                z = jnp.where(act3, zn, z)
+                r = jnp.where(act3, rn, r)
+                g = jnp.where(act3, gn, g)
+                logp = jnp.where(active, logpn, logp)
                 return i + 1, z, r, g, logp
 
             def cond(carry):
@@ -147,7 +154,7 @@ def make_chees(config, func_grad):
                 cond, body, (jnp.zeros((), jnp.int32), q0, r0, grad0, logp0)
             )
 
-        k1 = 0.5 * jnp.sum(r1 * r1, axis=-1)
+        k1 = 0.5 * jnp.sum(r1 * r1, axis=1)
         joint0 = logp0 - k0
         joint1 = logp1 - k1
         denergy = joint1 - joint0
@@ -185,11 +192,11 @@ def make_chees(config, func_grad):
         new_eps = jnp.where(in_burn, eps_burn, epsbar_prev).astype(dt)  # [T]
 
         # ---- ChEES gradient ascent on log trajectory length ----
-        q1m = z1 - jnp.mean(z1, axis=1, keepdims=True)
-        q0m = q0 - jnp.mean(q0, axis=1, keepdims=True)
-        d1 = jnp.sum(q1m * q1m, axis=-1)
-        d0 = jnp.sum(q0m * q0m, axis=-1)
-        per_chain = u * (d1 - d0) * jnp.sum(q1m * r1, axis=-1)  # [T, C]
+        q1m = z1 - jnp.mean(z1, axis=2, keepdims=True)  # center over chains
+        q0m = q0 - jnp.mean(q0, axis=2, keepdims=True)
+        d1 = jnp.sum(q1m * q1m, axis=1)
+        d0 = jnp.sum(q0m * q0m, axis=1)
+        per_chain = u * (d1 - d0) * jnp.sum(q1m * r1, axis=1)  # [T, C]
         w = jnp.where(jnp.isfinite(per_chain), alpha, 0.0)
         per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
         grad_t = (jnp.sum(w * per_chain, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-6)).astype(
@@ -225,7 +232,7 @@ def make_chees(config, func_grad):
         new_ss["chees_v"] = rep(freeze(v_t, ss["chees_v"][:, 0]))
         new_ss["chees_tlen"] = rep(new_tlen)
 
-        bwd = jax.vmap(jax.vmap(lambda zz: backward(ctx, zz)))
+        bwd = jax.vmap(jax.vmap(lambda zz: backward(ctx, zz), in_axes=-1, out_axes=-1))
         return bwd(z1), qxy, new_ss
 
     return chees

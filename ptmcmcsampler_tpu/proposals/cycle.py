@@ -14,8 +14,8 @@ TPU-native design: in ``jump_select="shared"`` mode one kind is drawn per
 iteration (independent of all chain states, so each chain still evolves by the
 same mixture kernel) and dispatched through a scalar-index ``lax.switch`` —
 at runtime only the selected family's cost is paid, so cheap AM iterations
-never pay for NUTS trajectories. ``per_chain`` mode draws a kind per chain and
-pays a masked-select over the (cheap-only) branches.
+never pay for NUTS trajectories. ``per_chain`` mode draws a kind per chain
+(rotation scheme or stacked masked-select; see kernel.py).
 """
 
 from __future__ import annotations
@@ -139,8 +139,10 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
     """Build batched branch functions for `lax.switch`.
 
     Each branch has signature
-        branch(keys[T,C,2], x[T,C,D], betas[T], it, ctx, ss_dict) ->
-            (q[T,C,D], log_qxy[T,C], new_ss_dict)
+        branch(keys[T,C,...], x[T,D,C], betas[T], it, ctx, ss_dict) ->
+            (q[T,D,C], log_qxy[T,C], new_ss_dict)
+    (x and q are chain-minor; per-chain kernels are vmapped with the chain
+    batch on the minor axis so elementwise work fills the TPU lane dim)
     where ``ss_dict`` holds the per-(T,C) NUTS dual-averaging scalars.
     ``logp`` (single-chain prior log-density) is required by prior-draw jumps
     for their Hastings correction.
@@ -194,8 +196,9 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             kernel = make_hmc_pallas(config, func_grad)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
-                q, qxy = _kernel(keys, x, betas, ctx)
-                return q, qxy, ss
+                # fused kernel keeps the historical [T, C, D] interface
+                q, qxy = _kernel(keys, jnp.moveaxis(x, 1, 2), betas, ctx)
+                return jnp.moveaxis(q, 1, 2), qxy, ss
 
         elif spec.kind == KIND_NUTS and config.nuts_impl == "pallas" and not (
             func_grad is not None
@@ -239,7 +242,10 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             kernel = make_nuts_pallas(config, func_grad)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
-                return _kernel(keys, x, betas, it, ctx, ss)
+                # fused kernel keeps the historical [T, C, D] interface; the
+                # boundary transposes are noise against the tree's cost
+                q, qxy, new_ss = _kernel(keys, jnp.moveaxis(x, 1, 2), betas, it, ctx, ss)
+                return jnp.moveaxis(q, 1, 2), qxy, new_ss
 
         elif spec.kind == KIND_NUTS:
             if (
@@ -270,9 +276,10 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             kernel = nuts.make_nuts(config, func_grad)
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
-                per_chain = jax.vmap(  # over chains
+                per_chain = jax.vmap(  # over the minor chain axis
                     lambda k, xx, b, s: _kernel(k, xx, b, it, ctx, s),
-                    in_axes=(0, 0, None, 0),
+                    in_axes=(0, -1, None, 0),
+                    out_axes=(-1, 0, 0),
                 )
                 per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0, 0))
                 q, qxy, new_ss = per_temp(keys, x, betas, ss)
@@ -284,7 +291,8 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
                 per_chain = jax.vmap(
                     lambda k, xx, b: _kernel(k, xx, b, it, ctx),
-                    in_axes=(0, 0, None),
+                    in_axes=(0, -1, None),
+                    out_axes=(-1, 0),
                 )
                 per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0))
                 q, qxy = per_temp(keys, x, betas)
@@ -312,7 +320,7 @@ def build_aux_chain(config: SamplerConfig):
             wrapped.append(jax_aux)
 
     def apply_aux(keys, x, q, qxy, betas, it):
-        """keys [T,C,A,2]; x,q [T,C,D]; returns updated (q, qxy)."""
+        """keys [T,C,A,...]; x,q [T,D,C] (chain-minor); updated (q, qxy)."""
 
         def single(key_list, x1, q1, beta):
             total = jnp.zeros((), q1.dtype)
@@ -321,7 +329,7 @@ def build_aux_chain(config: SamplerConfig):
                 total = total + lq
             return q1, total
 
-        per_chain = jax.vmap(single, in_axes=(0, 0, 0, None))
+        per_chain = jax.vmap(single, in_axes=(0, -1, -1, None), out_axes=(-1, 0))
         per_temp = jax.vmap(per_chain, in_axes=(0, 0, 0, 0))
         q2, extra = per_temp(keys, x, q, betas)
         return q2, qxy + extra

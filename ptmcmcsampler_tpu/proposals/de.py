@@ -21,6 +21,8 @@ Two pair-selection modes (``SamplerConfig.de_pair``):
   one-hot matmul measured even worse, 0.93 ms — round-5 trace).
 * ``"iid"`` — the reference's literal law: independent uniform
   ordered-distinct rows per chain, via gather.
+
+The ring buffer is chain-minor ([D, B]), matching ``SamplerState.x``.
 """
 
 from __future__ import annotations
@@ -76,7 +78,7 @@ def make_de(config):
         # sqrt(1/beta) per the reference (:976); the hot chain's beta->0 is
         # clamped so f32 stays finite (reference would produce 1e40).
         temp = jnp.minimum(safe_temperature(beta), 1e30)
-        sigma_full = ctx.de_buf[mm] - ctx.de_buf[nn]
+        sigma_full = ctx.de_buf[:, mm] - ctx.de_buf[:, nn]  # buf is [D, B]
         q = _de_scale_and_apply(groups, embeds, prob, ku, temp, sigma_full, x, kg)
         return q, jnp.zeros((), x.dtype)
 
@@ -94,8 +96,8 @@ def make_de_batch(config):
     embeds = [GroupEmbed(g, config.ndim, config.dtype) for g in groups]
 
     def de_batch(keys, x, betas, it, ctx, ss):
-        t, c, d = x.shape
-        rows = ctx.de_buf.shape[0]
+        t, d, c = x.shape  # chain-minor
+        rows = ctx.de_buf.shape[1]
         nvalid = jnp.maximum(ctx.de_valid, 2)
         # Shared shift pair, one per iteration: derived by fold_in from the
         # (0,0) chain key so it is independent of every per-chain split
@@ -111,21 +113,21 @@ def make_de_batch(config):
             # (c + s) % nvalid is a roll — no gather. Tiling covers the
             # (unusual) case of more chains than ring rows: the row pattern
             # repeats with period ``rows``.
-            b1 = jnp.roll(ctx.de_buf, -s1, axis=0)
-            b2 = jnp.roll(ctx.de_buf, -s2, axis=0)
+            b1 = jnp.roll(ctx.de_buf, -s1, axis=1)
+            b2 = jnp.roll(ctx.de_buf, -s2, axis=1)
             diff = b1 - b2
             if rows < c:
-                diff = jnp.tile(diff, (-(-c // rows), 1))
-            return diff[:c]
+                diff = jnp.tile(diff, (1, -(-c // rows)))
+            return diff[:, :c]
 
         def partial_case(_):
             # Rare early-run case (DE selected while the ring is part-full):
             # per-chain modulo needs a real gather.
             idx1 = (jnp.arange(c) + s1) % nvalid
             idx2 = (jnp.arange(c) + s2) % nvalid
-            return ctx.de_buf[idx1] - ctx.de_buf[idx2]
+            return ctx.de_buf[:, idx1] - ctx.de_buf[:, idx2]
 
-        d_all = jax.lax.cond(nvalid == rows, full_case, partial_case, None)  # [C, D]
+        d_all = jax.lax.cond(nvalid == rows, full_case, partial_case, None)  # [D, C]
 
         temps = jnp.minimum(safe_temperature(betas), 1e30)  # [T]
 
@@ -134,7 +136,7 @@ def make_de_batch(config):
             prob = jax.random.uniform(kp)
             return _de_scale_and_apply(groups, embeds, prob, ku, temp, sig, x1, kg)
 
-        per_temp = jax.vmap(per_chain, in_axes=(0, 0, None, 0))
+        per_temp = jax.vmap(per_chain, in_axes=(0, -1, None, -1), out_axes=-1)
         q = jax.vmap(per_temp, in_axes=(0, 0, 0, None))(keys, x, temps, d_all)
         return q, jnp.zeros((t, c), x.dtype), ss
 

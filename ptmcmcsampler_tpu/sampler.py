@@ -623,7 +623,7 @@ class PTSampler:
             self._drain_count = 0
             # Record + write the initial sample (reference :489-491).
             lnprob0 = utils.host_array(state.lnprob)
-            x_host = utils.host_array(state.x)  # [T, C, D]
+            x_host = np.moveaxis(utils.host_array(state.x), 1, 2)  # [T, C, D]
             self._chain_host = [x_host[0, 0][None]]
             # Multi-process: drains append only the LOCAL chain block of the
             # cold temperature ([rows, len(cids), D], _drain_block_multi), so
@@ -897,7 +897,8 @@ class PTSampler:
         of one chain file per MPI rank (PTMCMCSampler.py:341-372) — and
         pooled statistics come from collective replicated-output reductions.
         """
-        x, (_, tids, cids, _) = host_local_block(out.x)  # [rows, Tl, Cl, D]
+        x, (_, tids, _, cids) = host_local_block(out.x)  # [rows, Tl, D, Cl]
+        x = np.moveaxis(x, 2, 3)  # host convention [rows, Tl, Cl, D]
         lnlike, _ = host_local_block(out.lnlike)
         lnprob, _ = host_local_block(out.lnprob)
         nacc, _ = host_local_block(out.naccepted)
@@ -980,7 +981,9 @@ class PTSampler:
             return self._drain_block_multi(
                 state, out, it, tstart, Niter, writer, config
             )
-        x = utils.host_array(out.x)  # [rows, T, C, D]
+        # Device emission is chain-minor [rows, T, D, C]; host convention
+        # stays [rows, T, C, D].
+        x = np.moveaxis(utils.host_array(out.x), 2, 3)
 
         def col0(a):
             """Chain-0 column: slim ([rows, T]) and full ([rows, T, C]) blocks."""

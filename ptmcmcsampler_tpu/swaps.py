@@ -70,10 +70,11 @@ def _sweep_rows(key, lnlike, betas, payload_rows=()):
         m_rows[i] = jnp.where(take, mi1, mi)
         m_rows[i + 1] = jnp.where(take, mi, mi1)
         for rows in payload_rows:
+            # take [C] broadcasts against chain-minor payload rows ([C] or
+            # [D, C]) on trailing axes.
             ri, ri1 = rows[i], rows[i + 1]
-            tk = take.reshape(take.shape + (1,) * (ri.ndim - 1))
-            rows[i] = jnp.where(tk, ri1, ri)
-            rows[i + 1] = jnp.where(tk, ri, ri1)
+            rows[i] = jnp.where(take, ri1, ri)
+            rows[i + 1] = jnp.where(take, ri, ri1)
         acc_rows[i] = take
     return m_rows, acc_rows, ll_rows, payload_rows
 
@@ -103,6 +104,7 @@ def sweep_swap_apply(key, x, lnlike, lnprior, betas):
     Returns (x, lnlike, lnprior, accepted [T, C], proposed [T]) — bit-identical
     to ``apply_swap(sweep_swap_map(...)...)`` but the positions/priors ride the
     sweep's row exchanges directly instead of a final per-chain gather.
+    ``x`` is chain-minor [T, D, C].
     """
     t, c = lnlike.shape
     if t <= 1:
@@ -164,7 +166,8 @@ def deo_swap_map(key, lnlike, betas, parity):
 
 
 def apply_swap(swap_map, x, lnlike, lnprior):
-    """Permute replica state rows by the per-chain swap map.
+    """Permute replica state rows by the per-chain swap map (x chain-minor
+    [T, D, C]).
 
     For the small static temperature counts PT ladders use, the per-chain
     axis-0 gather is expressed as a masked row sum (T selects per output row)
@@ -174,7 +177,7 @@ def apply_swap(swap_map, x, lnlike, lnprior):
     """
     t = lnlike.shape[0]
     if t > 16:  # select-sum cost grows as T^2; gathers win for tall ladders
-        xg = jnp.take_along_axis(x, swap_map[:, :, None], axis=0)
+        xg = jnp.take_along_axis(x, swap_map[:, None, :], axis=0)
         llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
         lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
         return xg, llg, lpg
@@ -186,7 +189,7 @@ def apply_swap(swap_map, x, lnlike, lnprior):
             if j == i:
                 continue
             m = sel == j
-            xi = jnp.where(m[:, None], x[j], xi)
+            xi = jnp.where(m, x[j], xi)  # m [C] vs x[j] [D, C]: trailing bcast
             lli = jnp.where(m, lnlike[j], lli)
             lpi = jnp.where(m, lnprior[j], lpi)
         x_rows.append(xi)
@@ -226,7 +229,7 @@ def deo_swap_apply(key, x, lnlike, lnprior, betas, parity):
     up = jnp.roll(lnprior, -1, axis=0)
     dn = jnp.roll(lnprior, 1, axis=0)
     new_lp = jnp.where(take_lo, up, jnp.where(take_hi, dn, lnprior))
-    tl3, th3 = take_lo[:, :, None], take_hi[:, :, None]
+    tl3, th3 = take_lo[:, None, :], take_hi[:, None, :]
     new_x = jnp.where(
         tl3, jnp.roll(x, -1, axis=0), jnp.where(th3, jnp.roll(x, 1, axis=0), x)
     )
@@ -315,8 +318,8 @@ def make_sharded_deo(mesh, temp_axis, ntemps, parity_fn=None):
         # overlap on a row.
         new_ll = jnp.where(take_low, hi_ll, jnp.where(take_high, lo_ll, lnlike))
         new_lp = jnp.where(take_low, hi_lp, jnp.where(take_high, lo_lp, lnprior))
-        tl3 = take_low[:, :, None]
-        th3 = take_high[:, :, None]
+        tl3 = take_low[:, None, :]
+        th3 = take_high[:, None, :]
         new_x = jnp.where(tl3, hi_x, jnp.where(th3, lo_x, x))
         return new_x, new_ll, new_lp, take_low, active
 

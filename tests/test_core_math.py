@@ -66,7 +66,7 @@ class TestWelford:
         # feed in uneven batches, like per-iteration chain batches
         i = 0
         for m in [3, 50, 121, 200, 126]:
-            adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs[i : i + m]))
+            adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs[i : i + m].T))
             i += m
         adapt = adaptation.refresh_factors(cfg, adapt)
         np.testing.assert_allclose(
@@ -79,9 +79,9 @@ class TestWelford:
         cfg = _mini_config(3)
         a1 = init_adapt_state(cfg, np.eye(3))
         for row in xs:
-            a1 = adaptation.welford_batch_update(a1, jnp.asarray(row[None]))
+            a1 = adaptation.welford_batch_update(a1, jnp.asarray(row[:, None]))
         a2 = init_adapt_state(cfg, np.eye(3))
-        a2 = adaptation.welford_batch_update(a2, jnp.asarray(xs))
+        a2 = adaptation.welford_batch_update(a2, jnp.asarray(xs.T))
         np.testing.assert_allclose(np.asarray(a1.m2), np.asarray(a2.m2), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(a1.mean), np.asarray(a2.mean), rtol=1e-4, atol=1e-4)
 
@@ -91,7 +91,7 @@ class TestWelford:
         xs = rng.normal(size=(2000, 4)).astype(np.float32)
         xs[:, 1] += 2 * xs[:, 0]
         adapt = init_adapt_state(cfg, np.eye(4))
-        adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs))
+        adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs.T))
         adapt = adaptation.refresh_factors(cfg, adapt)
         cov = np.cov(xs.T)
         for gi, g in enumerate(cfg.groups):
@@ -111,7 +111,7 @@ class TestWelfordKahanCount:
         base = float(2**36)
         adapt = adapt.replace(count=jnp.asarray(base, jnp.float32))
         m = 4096
-        xs = jnp.ones((m, 2), jnp.float32)
+        xs = jnp.ones((2, m), jnp.float32)  # [D, m] chain-minor
         steps = 64
         upd = jax.jit(adaptation.welford_batch_update)
         for _ in range(steps):
@@ -134,7 +134,7 @@ class TestWelfordKahanCount:
         adapt = init_adapt_state(cfg, np.eye(3))
         xs = rng.normal(size=(200000, 3)).astype(np.float32)
         for i in range(0, len(xs), 4096):
-            adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs[i : i + 4096]))
+            adapt = adaptation.welford_batch_update(adapt, jnp.asarray(xs[i : i + 4096].T))
         adapt = adaptation.refresh_factors(cfg, adapt)
         assert float(adapt.count) - float(adapt.count_err) == len(xs)
         np.testing.assert_allclose(
@@ -164,7 +164,7 @@ class TestDEPairLaw:
         # Distinct row values whose ordered differences are all distinct, so
         # a mode jump (scale=1) uniquely identifies the drawn (mm, nn) pair.
         vals = np.array([0.0, 1.0, 3.0, 9.0], np.float32)
-        buf = jnp.asarray(vals[:, None])
+        buf = jnp.asarray(vals[None, :])  # [D, B]
         ctx = ProposalContext(
             group_u=(jnp.eye(1),),
             group_s=(jnp.ones(1),),
@@ -206,16 +206,17 @@ class TestDEBuffer:
     def test_ring_write(self):
         from ptmcmcsampler_tpu.state import DEState
 
-        de = DEState(buf=jnp.zeros((8, 2)), filled=jnp.zeros((), jnp.int32))
+        # buf is chain-minor [D, B]; pushes append [D, m] column blocks.
+        de = DEState(buf=jnp.zeros((2, 8)), filled=jnp.zeros((), jnp.int32))
         for k in range(5):
             xs = jnp.full((2, 2), float(k))
             de = adaptation.de_buffer_push(de, xs)
         assert int(de.filled) == 10
         assert int(adaptation.de_valid_rows(de)) == 8
         buf = np.asarray(de.buf)
-        # rows 0..1 were overwritten by k=4 (wraparound)
-        np.testing.assert_array_equal(buf[0], [4, 4])
-        np.testing.assert_array_equal(buf[2], [1, 1])
+        # columns 0..1 were overwritten by k=4 (wraparound)
+        np.testing.assert_array_equal(buf[:, 0], [4, 4])
+        np.testing.assert_array_equal(buf[:, 2], [1, 1])
 
 
 def _multichain_ess_loop_oracle(chains):

@@ -37,18 +37,18 @@ def test_rolled_marginal_pair_law_per_chain():
     ctx = ProposalContext(
         group_u=(jnp.eye(1),), group_s=(jnp.ones(1),),
         chol=jnp.eye(1), chol_inv=jnp.eye(1),
-        de_buf=jnp.asarray(vals[:, None]),
+        de_buf=jnp.asarray(vals[None, :]),
         de_valid=jnp.asarray(nvalid, jnp.int32),
     )
     n = 30000
     base_keys = jax.random.split(jax.random.key(3), n)
-    x = jnp.zeros((1, nchains, 1), jnp.float32)
+    x = jnp.zeros((1, 1, nchains), jnp.float32)  # [T, D, C]
     betas = jnp.ones((1,), jnp.float32)
 
     def draw(k):
         keys = utils.split_grid(k, (1, nchains))
         q, _, _ = de_b(keys, x, betas, jnp.asarray(0, jnp.int32), ctx, {})
-        return q[0, :, 0]
+        return q[0, 0, :]
 
     deltas = np.asarray(jax.jit(jax.vmap(draw))(base_keys))  # [n, nchains]
     diffs = {}
@@ -77,18 +77,18 @@ def test_rolled_partial_buffer_uses_valid_rows_only():
     ctx = ProposalContext(
         group_u=(jnp.eye(1),), group_s=(jnp.ones(1),),
         chol=jnp.eye(1), chol_inv=jnp.eye(1),
-        de_buf=jnp.asarray(vals[:, None]),
+        de_buf=jnp.asarray(vals[None, :]),
         de_valid=jnp.asarray(3, jnp.int32),  # only rows 0..2 are history
     )
     n = 4000
     base_keys = jax.random.split(jax.random.key(5), n)
-    x = jnp.zeros((1, 3, 1), jnp.float32)
+    x = jnp.zeros((1, 1, 3), jnp.float32)  # [T, D, C]
     betas = jnp.ones((1,), jnp.float32)
 
     def draw(k):
         keys = utils.split_grid(k, (1, 3))
         q, _, _ = de_b(keys, x, betas, jnp.asarray(0, jnp.int32), ctx, {})
-        return q[0, :, 0]
+        return q[0, 0, :]
 
     deltas = np.asarray(jax.jit(jax.vmap(draw))(base_keys))
     # No difference involving the 100/200/300 rows may ever appear. Valid
@@ -136,7 +136,7 @@ def test_rolled_vs_iid_statistically_equivalent():
         acc_rate = (
             np.asarray(state.counters.naccepted) - state0_acc
         ).mean() / (int(state.it) - it0)
-        cold = np.asarray(out.x[:, 0]).reshape(-1, 2)
+        cold = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, 2)
         results[mode] = (acc_rate, cold.mean(axis=0), cold.std(axis=0))
 
     acc_r, mean_r, std_r = results["rolled"]

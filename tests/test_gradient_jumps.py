@@ -37,7 +37,7 @@ def make_ctx(ndim, cov=None):
         group_s=(jnp.ones(ndim),),
         chol=jnp.asarray(chol, jnp.float32),
         chol_inv=jnp.asarray(np.linalg.solve(chol, np.eye(ndim)), jnp.float32),
-        de_buf=jnp.zeros((4, ndim)),
+        de_buf=jnp.zeros((ndim, 4)),
         de_valid=jnp.asarray(0, jnp.int32),
     )
 
@@ -122,7 +122,7 @@ class TestHMCSampling:
         )
         state, _ = run_block(state, 300)
         state, out = run_block(state, 700)
-        samples = np.asarray(out.x[:, 0]).reshape(-1, cfg.ndim)
+        samples = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, cfg.ndim)
         np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.15)
         np.testing.assert_allclose(samples.std(axis=0), 1.0, rtol=0.15)
         acc = np.asarray(state.counters.naccepted).mean() / int(state.it)
@@ -228,7 +228,7 @@ class TestNUTSSampling:
         cfg, run_block, state = build_gradient_sampler("nuts", nchains=16)
         state, _ = run_block(state, 300)  # includes dual-averaging burn (200)
         state, out = run_block(state, 700)
-        samples = np.asarray(out.x[:, 0]).reshape(-1, cfg.ndim)
+        samples = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, cfg.ndim)
         np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.15)
         np.testing.assert_allclose(samples.std(axis=0), 1.0, rtol=0.15)
         # NUTS returns qxy so the outer MH step always accepts (nutsjump.py:837-840)
@@ -272,7 +272,7 @@ class TestNUTSSampling:
         state = init_state(cfg, jax.random.PRNGKey(3), np.zeros(ndim), cov, np.ones(1), ll0, lp0)
         state, _ = run_block(state, 300)
         state, out = run_block(state, 500)
-        samples = np.asarray(out.x[:, 0]).reshape(-1, ndim)
+        samples = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, ndim)
         emp = np.cov(samples.T)
         np.testing.assert_allclose(emp, cov, atol=0.35)
 

@@ -60,7 +60,7 @@ class TestStep:
     def test_run_block(self):
         cfg, _, run_block, state = build()
         state, out = run_block(state, 10)
-        assert out.x.shape == (10, cfg.ntemps, cfg.nchains, cfg.ndim)
+        assert out.x.shape == (10, cfg.ntemps, cfg.ndim, cfg.nchains)  # chain-minor
         assert int(state.it) == 20  # 10 rows * thin 2
         assert np.all(np.isfinite(np.asarray(out.lnprob)))
 
@@ -133,7 +133,7 @@ class TestStatistical:
         cfg, _, run_block, state = build(ndim=ndim, ntemps=2, nchains=64, burn=100)
         state, _ = run_block(state, 500)  # burn-in: 1000 iters
         state, out = run_block(state, 1500)  # 3000 iters
-        cold = np.asarray(out.x[:, 0]).reshape(-1, ndim)  # [rows*C, D]
+        cold = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, ndim)  # [rows*C, D]
         mean = cold.mean(axis=0)
         std = cold.std(axis=0)
         # Standard normal target; with 64 chains * 1500 rows the MC error on

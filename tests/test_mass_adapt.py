@@ -115,7 +115,7 @@ class TestMassAdaptESSGain:
         )
 
         def pooled_ess(out):
-            chains = np.moveaxis(np.asarray(out.x[:, 0]), 0, 1)  # [C, rows, D]
+            chains = np.transpose(np.asarray(out.x[:, 0]), (2, 0, 1))  # [C, rows, D]
             return float(np.min(diagnostics.multichain_ess(chains)))
 
         ess_frozen = pooled_ess(out_frozen)

@@ -59,7 +59,7 @@ def _ctx(ndim, cov=None):
         group_u=(jnp.eye(ndim),), group_s=(jnp.ones(ndim),),
         chol=jnp.asarray(chol, jnp.float32),
         chol_inv=jnp.asarray(np.linalg.solve(chol, np.eye(ndim)), jnp.float32),
-        de_buf=jnp.zeros((4, ndim)), de_valid=jnp.asarray(0, jnp.int32),
+        de_buf=jnp.zeros((ndim, 4)), de_valid=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -191,7 +191,7 @@ class TestSamplingMoments:
             )
             state, _ = run_block(state, 200)
             state, out = run_block(state, 300)
-            samples = np.asarray(out.x[:, 0]).reshape(-1, 2)
+            samples = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, 2)
             results[use_pallas] = samples
             emp = np.cov(samples.T)
             np.testing.assert_allclose(emp, cov, atol=0.3, err_msg=str(use_pallas))

@@ -102,6 +102,7 @@ def test_fused_chees_matches_xla_path(model):
     from ptmcmcsampler_tpu.proposals import chees as chees_mod
 
     cfg, func_grad, ctx, x, betas, keys = _setup(model, ntemps=2, nchains=9)
+    x = jnp.moveaxis(x, 1, 2)  # batch-level chees kernel takes chain-minor x
     cfg_x = dataclasses.replace(cfg, use_pallas=False, chees_max_steps=32, burn=100)
     cfg_p = dataclasses.replace(cfg, use_pallas=True, chees_max_steps=32, burn=100)
 

@@ -310,7 +310,7 @@ def test_chainfile_resume_restores_per_chain_positions(tmp_path):
     s = build()
     s.sample(np.zeros(2), 100, burn=20, thin=1, isave=50, SCAMweight=1,
              AMweight=1, DEweight=0, NUTSweight=0, HMCweight=0, MALAweight=0)
-    last_per_chain = np.asarray(jax.device_get(s.state.x[0]))  # [C, D]
+    last_per_chain = np.asarray(jax.device_get(s.state.x[0])).T  # [C, D]
     os.remove(os.path.join(outdir, "checkpoint.npz"))  # force file resume
 
     s2 = build()

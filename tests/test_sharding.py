@@ -130,8 +130,8 @@ class TestShardedDeoSwaps:
     def _inputs(self, ntemps=8, nchains=4, ndim=3, seed=0):
         key = jax.random.key(seed)
         kx, kl = jax.random.split(key)
-        x = jax.random.normal(kx, (ntemps, nchains, ndim))
-        lnlike = -0.5 * jnp.sum(x**2, axis=-1)
+        x = jax.random.normal(kx, (ntemps, ndim, nchains))  # chain-minor
+        lnlike = -0.5 * jnp.sum(x**2, axis=1)
         lnprior = jnp.zeros((ntemps, nchains))
         betas = jnp.asarray(np.geomspace(1.0, 0.1, ntemps), jnp.float32)
         return key, x, lnlike, lnprior, betas
@@ -273,7 +273,8 @@ class TestPTSamplerOnMesh:
                  SCAMweight=20, AMweight=20, DEweight=20)
         assert isinstance(s.state.x.sharding, NamedSharding)
         assert s.state.x.sharding.spec[0] is None
-        assert s.state.x.sharding.spec[1] == "chain"
+        # x is chain-minor [T, D, C]: the chain axis is the last dim
+        assert s.state.x.sharding.spec[2] == "chain"
 
     def test_auto_swap_mode_routes_sharded_temp_axis_to_deo(self, tmp_path):
         """Round-4 verdict item: the default multi-chip configuration must

@@ -45,7 +45,7 @@ def _oracle_sweep_swap_map(key, lnlike, betas):
 
 
 def _oracle_apply(swap_map, x, lnlike, lnprior):
-    xg = jnp.take_along_axis(x, swap_map[:, :, None], axis=0)
+    xg = jnp.take_along_axis(x, swap_map[:, None, :], axis=0)  # x [T, D, C]
     llg = jnp.take_along_axis(lnlike, swap_map, axis=0)
     lpg = jnp.take_along_axis(lnprior, swap_map, axis=0)
     return xg, llg, lpg
@@ -58,7 +58,7 @@ def _random_state(seed, t=6, c=33, d=3, with_neginf=True):
         lnlike[-1] = -np.inf  # hot chain / rejected rows
         lnlike[2, :5] = -np.inf
     lnprior = rng.normal(size=(t, c)).astype(np.float32)
-    x = rng.normal(size=(t, c, d)).astype(np.float32)
+    x = rng.normal(size=(t, d, c)).astype(np.float32)  # chain-minor
     betas = np.sort(rng.uniform(0.01, 1.0, size=t).astype(np.float32))[::-1].copy()
     return jnp.asarray(x), jnp.asarray(lnlike), jnp.asarray(lnprior), jnp.asarray(betas)
 

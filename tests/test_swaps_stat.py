@@ -80,8 +80,8 @@ def test_deo_matches_sweep_statistics():
     s2, _ = run_deo(s2, 400)
     s2, o2 = run_deo(s2, 4800)
     # cold-chain marginal std must agree between swap schemes
-    std1 = np.asarray(o1.x[:, 0]).reshape(-1, 8).std(axis=0)
-    std2 = np.asarray(o2.x[:, 0]).reshape(-1, 8).std(axis=0)
+    std1 = np.moveaxis(np.asarray(o1.x[:, 0]), 1, 2).reshape(-1, 8).std(axis=0)
+    std2 = np.moveaxis(np.asarray(o2.x[:, 0]), 1, 2).reshape(-1, 8).std(axis=0)
     np.testing.assert_allclose(std1, std2, rtol=0.15)
     # Counters before the burn segment are included in the cumulative rates;
     # both modes share the same burn treatment so the comparison is fair.
@@ -95,8 +95,8 @@ def test_hot_chain_samples_prior():
     cfg, run_block, state = build(hot_chain=True, ntemps=4, ndim=2)
     assert float(state.betas[-1]) == 0.0
     state, out = run_block(state, 800)
-    hot = np.asarray(out.x[400:, -1]).reshape(-1, 2)
+    hot = np.moveaxis(np.asarray(out.x[400:, -1]), 1, 2).reshape(-1, 2)
     # beta=0 chain samples the uniform box prior: wide spread, no pull to 0
     assert hot.std() > 5.0
-    cold = np.asarray(out.x[400:, 0]).reshape(-1, 2)
+    cold = np.moveaxis(np.asarray(out.x[400:, 0]), 1, 2).reshape(-1, 2)
     assert cold.std() < 3.0
