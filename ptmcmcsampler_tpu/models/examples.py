@@ -70,11 +70,12 @@ class CurvedLikelihood:
     def lnlikefn(self, x):
         e0 = -x[0] ** 2 - (9 + 4 * x[0] ** 2 + 9 * x[1]) ** 2
         e1 = -8 * x[0] ** 2 - 8 * (x[1] - 2) ** 2
-        # logsumexp form: numerically safe where the reference's
-        # log(exp(e0) + 0.5 exp(e1)) underflows to log(0).
-        return jax.scipy.special.logsumexp(
-            jnp.stack([e0, e1]), b=jnp.asarray([1.0, 0.5]), axis=0
-        )
+        # logaddexp form: numerically safe where the reference's
+        # log(exp(e0) + 0.5 exp(e1)) underflows to log(0), and PURE
+        # elementwise (no stack + reduce): a cross-lane reduce op inside the
+        # vmapped gradient splits every leapfrog step into extra fusions,
+        # each a full HBM round-trip of the [T, C] batch.
+        return jnp.logaddexp(e0, jnp.log(jnp.asarray(0.5, x.dtype)) + e1)
 
     def lnpriorfn(self, x):
         inside = jnp.all(jnp.asarray(self.pmin) < x) & jnp.all(jnp.asarray(self.pmax) > x)
