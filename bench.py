@@ -72,7 +72,7 @@ def main(
     ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=10,
     rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
-    measure_trace=1,
+    measure_trace=1, de_pair="rolled",
 ):
     # nuts_max_depth=10 matches the sampler default (reference-unbounded
     # regime in practice): the tree kernel's block-wide level early-exit
@@ -193,6 +193,7 @@ def main(
         # adapt_ladder=1 turns on the windowed Vousden+ ladder-geometry
         # adaptation during burn-in (kernel.py pt_swap).
         adapt_ladder=bool(adapt_ladder),
+        de_pair=de_pair,
     )
     step, run_block = build_step(
         cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None
@@ -226,14 +227,23 @@ def main(
         sync(out.lnlike)
     _log("burn-in done; timing...")
 
-    # Timed window.
+    # Timed window. Double-buffered: the NEXT block is dispatched (async)
+    # before syncing the previous one, so the host/tunnel round-trip between
+    # blocks overlaps device compute instead of idling the chip (~80 ms per
+    # block through the axon tunnel = 25% of wall at round-5 speeds).
+    nblocks = timed_iters // block
     t0 = time.time()
     cold_blocks = []
-    for bi in range(timed_iters // block):
-        state, out = run_block(state, block)
-        cold_blocks.append(out.x[:, 0])  # [block, D, C] cold rung, stays on device
+    state, out = run_block(state, block)
+    for bi in range(1, nblocks):
+        state, out_next = run_block(state, block)  # async dispatch
+        cold_blocks.append(out.x[:, 0])  # [block, D, C] cold rung, on device
         sync(out.lnlike)
-        _log(f"timed block {bi + 1}/{timed_iters // block} at {time.time() - t0:.1f}s")
+        _log(f"timed block {bi}/{nblocks} at {time.time() - t0:.1f}s")
+        out = out_next
+    cold_blocks.append(out.x[:, 0])
+    sync(out.lnlike)
+    _log(f"timed block {nblocks}/{nblocks} at {time.time() - t0:.1f}s")
     elapsed = time.time() - t0
 
     cold = np.concatenate([np.asarray(jax.device_get(b)) for b in cold_blocks], axis=0)

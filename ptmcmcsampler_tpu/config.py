@@ -132,6 +132,13 @@ class SamplerConfig:
     # XLA path on a v5e chip (PROFILE_r03.md) — and the vmapped XLA path
     # elsewhere. "xla" / "pallas" force one path.
     nuts_impl: str = "auto"
+    # Two-pass depth bucketing for the fused Pallas NUTS kernel: pass 1 runs
+    # a depth-<=nuts_pass1_depth tree for every lane; only lanes the cap cut
+    # are packed together and replayed at full depth (identical randomness,
+    # bitwise-identical composite — ops/nuts_pallas.py). A 128-lane block
+    # otherwise pays the deep levels whenever ANY of its lanes runs deep.
+    # 0 disables.
+    nuts_pass1_depth: int = 4
     # ChEES-HMC statics (beyond-reference vmap-friendly gradient mode).
     chees_max_steps: int = 256
     chees_delta: float = 0.651

@@ -78,7 +78,8 @@ def _nuts_kernel(
     func_grad, ndim, max_depth, const_shapes,
 ):
     const_refs = rest[: len(const_shapes)]
-    qout_ref, logp0_ref, logpprop_ref, alpha_ref, nalpha_ref = rest[len(const_shapes):]
+    (qout_ref, logp0_ref, logpprop_ref, alpha_ref, nalpha_ref,
+     alive_ref) = rest[len(const_shapes):]
     consts = [r[:].reshape(s) for r, s in zip(const_refs, const_shapes)]
 
     dp = q0_ref.shape[0]
@@ -311,6 +312,12 @@ def _nuts_kernel(
     logpprop_ref[:] = logp_prop
     alpha_ref[:] = alpha
     nalpha_ref[:] = nalpha
+    # Lanes still alive after the last doubling: their tree was cut by the
+    # depth cap, not by the U-turn/divergence criterion. The two-pass
+    # dispatcher below uses this to route only cap-cut lanes into the deep
+    # kernel (completed lanes' outputs are already the full-depth outputs:
+    # the deeper levels would have been masked no-ops).
+    alive_ref[:] = jnp.where(_s_i > 0, jnp.ones((1, bn), dtype), jnp.zeros((1, bn), dtype))
 
 
 def fused_nuts_trees(
@@ -329,7 +336,8 @@ def fused_nuts_trees(
       resu:   [N, n_leaves] per-leaf reservoir uniforms (n_leaves = 2**depth - 1).
       chol:   [D, D] Cholesky factor of the proposal covariance.
     Returns:
-      (q_prop [N, D], logp0 [N], logp_prop [N], alpha [N], nalpha [N]).
+      (q_prop [N, D], logp0 [N], logp_prop [N], alpha [N], nalpha [N],
+       alive [N] — 1.0 where the tree was cut by the depth cap).
     """
     if max_depth > MAX_UNROLL_DEPTH:
         raise ValueError(
@@ -380,7 +388,7 @@ def fused_nuts_trees(
     def rep_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    q_prop, logp0, logp_prop, alpha, nalpha = pl.pallas_call(
+    q_prop, logp0, logp_prop, alpha, nalpha, alive = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -389,9 +397,11 @@ def fused_nuts_trees(
             rep_spec((dp, dp)),
         ]
         + [rep_spec(c.shape) for c in const_in],
-        out_specs=[col_spec(dp), col_spec(1), col_spec(1), col_spec(1), col_spec(1)],
+        out_specs=[col_spec(dp), col_spec(1), col_spec(1), col_spec(1),
+                   col_spec(1), col_spec(1)],
         out_shape=[
             jax.ShapeDtypeStruct((dp, npad), dtype),
+            jax.ShapeDtypeStruct((1, npad), dtype),
             jax.ShapeDtypeStruct((1, npad), dtype),
             jax.ShapeDtypeStruct((1, npad), dtype),
             jax.ShapeDtypeStruct((1, npad), dtype),
@@ -413,7 +423,7 @@ def fused_nuts_trees(
     )
     return (
         q_prop[:d, :n].T, logp0[0, :n], logp_prop[0, :n],
-        alpha[0, :n], nalpha[0, :n],
+        alpha[0, :n], nalpha[0, :n], alive[0, :n],
     )
 
 
@@ -437,7 +447,26 @@ def make_nuts_pallas(config, func_grad, interpret=None):
     delta = config.nuts_delta
     force_eps = config.nuts_force_epsilon
     nburn = config.burn
+    d1 = int(getattr(config, "nuts_pass1_depth", 0) or 0)
+    two_pass = 0 < d1 < max_depth
     forward, backward, fgw = make_whitened_funcs(func_grad)
+
+    def gen_resu(kres, depth):
+        """Per-leaf reservoir uniforms, drawn LEVEL BY LEVEL from fold_in
+        streams: level j's 2**j leaves use ``fold_in(k_res, j)``, so a
+        shallow (pass-1) tree consumes exactly the prefix of the deep tree's
+        stream — the bitwise-replay property the two-pass dispatch requires.
+        Concatenation order matches the kernel's row offsets (level j reads
+        rows [2**j - 1, 2**(j+1) - 1))."""
+        parts = [
+            jax.vmap(
+                lambda k, j=j: jax.random.uniform(
+                    jax.random.fold_in(k, j), (1 << j,), dtype=jnp.float32
+                )
+            )(kres)
+            for j in range(depth)
+        ]
+        return jnp.concatenate(parts, axis=-1)
 
     def nuts_batch(keys, x, betas, it, ctx, ss):
         t, c, d = x.shape
@@ -456,7 +485,6 @@ def make_nuts_pallas(config, func_grad, interpret=None):
             1.0,
         ).astype(dt)
         accu = jax.vmap(lambda k: jax.random.uniform(k, (max_depth,), dtype=dt))(k_acc)
-        resu = jax.vmap(lambda k: jax.random.uniform(k, (n_leaves,), dtype=dt))(k_res)
 
         xf = x.reshape(nn, d)
         q0 = xf @ ctx.chol_inv  # rows: forward whitening chol_inv.T @ x
@@ -486,11 +514,67 @@ def make_nuts_pallas(config, func_grad, interpret=None):
                 eps_state <= 0, jnp.log(10.0 * epsilon), ss["mu"].reshape(nn).astype(dt)
             )
 
-        q_prop, logp0, logp_prop, alpha, nalpha = fused_nuts_trees(
-            q0, r0, beta, epsilon, expo, dirs, accu, resu, ctx.chol,
-            func_grad=func_grad, ndim=ndim, max_depth=max_depth,
-            block_n=block_n, interpret=interpret,
-        )
+        if not two_pass:
+            resu = gen_resu(k_res, max_depth).astype(dt)
+            q_prop, logp0, logp_prop, alpha, nalpha, _ = fused_nuts_trees(
+                q0, r0, beta, epsilon, expo, dirs, accu, resu, ctx.chol,
+                func_grad=func_grad, ndim=ndim, max_depth=max_depth,
+                block_n=block_n, interpret=interpret,
+            )
+        else:
+            # Two-pass depth bucketing (round 5, VERDICT r4 item 3). A level
+            # of the tree kernel is only skipped when EVERY lane of its
+            # 128-wide block has stopped; with typical trees stopping at
+            # depth 2-4 and a depth-10 cap, nearly every block still pays
+            # the exponentially-dominant deep levels for a few stragglers.
+            # Pass 1 runs a cheap depth-d1 kernel for all lanes; the lanes
+            # whose tree the CAP cut (not the U-turn/divergence criterion)
+            # are packed to the front and REPLAYED from scratch at full
+            # depth — identical randomness (prefix-consistent streams), so
+            # the composite is bitwise the plain depth-10 kernel — while the
+            # packed tail's dead lanes make whole blocks skip every level.
+            resu1 = gen_resu(k_res, d1).astype(dt)
+            q1, logp0, lp1, alpha1, nalpha1, alive1 = fused_nuts_trees(
+                q0, r0, beta, epsilon, expo, dirs[:, :d1], accu[:, :d1],
+                resu1, ctx.chol,
+                func_grad=func_grad, ndim=ndim, max_depth=d1,
+                block_n=block_n, interpret=interpret,
+            )
+            notdone = alive1 > 0
+            nd = notdone.astype(jnp.int32)
+            n_s = jnp.sum(nd)
+            # Stable partition: cap-cut lanes to slots [0, n_s), completed
+            # lanes after — computed with two cumsums plus one scatter (a
+            # full argsort costs more at this width).
+            pos_nd = jnp.cumsum(nd) - 1
+            pos_dn = n_s + jnp.cumsum(1 - nd) - 1
+            dest = jnp.where(notdone, pos_nd, pos_dn)  # lane -> slot
+            perm = jnp.zeros((nn,), jnp.int32).at[dest].set(
+                jnp.arange(nn, dtype=jnp.int32)
+            )  # slot -> lane
+            slot_live = jnp.arange(nn) < n_s
+            # One packed gather for the f32 inputs; keys gather separately.
+            packed = jnp.concatenate(
+                [q0, r0, beta[:, None], epsilon[:, None], expo[:, None],
+                 dirs, accu], axis=1,
+            )[perm]
+            q0p, r0p = packed[:, :d], packed[:, d : 2 * d]
+            betap = packed[:, 2 * d]
+            epsp = jnp.where(slot_live, packed[:, 2 * d + 1], 0.0)
+            expop = packed[:, 2 * d + 2]
+            dirsp = packed[:, 2 * d + 3 : 2 * d + 3 + max_depth]
+            accup = packed[:, 2 * d + 3 + max_depth :]
+            resup = gen_resu(k_res[perm], max_depth).astype(dt)
+            q2, _, lp2, alpha2, nalpha2, _ = fused_nuts_trees(
+                q0p, r0p, betap, epsp, expop, dirsp, accup, resup, ctx.chol,
+                func_grad=func_grad, ndim=ndim, max_depth=max_depth,
+                block_n=block_n, interpret=interpret,
+            )
+            # Scatter back: lane i's deep result sits at slot dest[i].
+            q_prop = jnp.where(notdone[:, None], q2[dest], q1)
+            logp_prop = jnp.where(notdone, lp2[dest], lp1)
+            alpha = jnp.where(notdone, alpha2[dest], alpha1)
+            nalpha = jnp.where(notdone, nalpha2[dest], nalpha1)
 
         xq = q_prop @ ctx.chol  # rows: backward chol.T @ q
         qxy = (logp0 - logp_prop).astype(dt)

@@ -315,3 +315,55 @@ class TestNutsImplGating:
         assert not self._pallas_selected(
             monkeypatch, use_pallas=True, max_depth=11
         )
+
+
+class TestTwoPassDispatch:
+    """The two-pass depth-bucketed dispatch (pass 1 shallow for all lanes,
+    cap-cut lanes packed and replayed at full depth) must be BITWISE the
+    plain full-depth kernel: identical randomness via the per-level
+    reservoir streams, and completed lanes' shallow outputs are already the
+    full-depth outputs."""
+
+    @pytest.mark.parametrize("d1", [1, 2, 3])
+    def test_bitwise_equals_single_pass(self, d1):
+        import dataclasses
+
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]], np.float64)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        x0 = jnp.asarray(np.full((1, 96, 2), 0.7, np.float32))
+        cfg0 = _cfg(2, 96, max_depth=5, nuts_pass1_depth=0)
+        cfgp = dataclasses.replace(cfg0, nuts_pass1_depth=d1)
+        q0, qxy0, ss0 = _run_one_call("pallas", cfg0, func_grad, x0, ctx, 3, eps0=0.35)
+        qp, qxyp, ssp = _run_one_call("pallas", cfgp, func_grad, x0, ctx, 3, eps0=0.35)
+        np.testing.assert_array_equal(q0, qp)
+        np.testing.assert_array_equal(qxy0, qxyp)
+        for k in ss0:
+            np.testing.assert_array_equal(ss0[k], ssp[k], err_msg=k)
+
+    def test_mixed_depths_actually_route_both_passes(self):
+        """With a step size giving a spread of tree depths, some lanes must
+        complete in pass 1 and some must be cap-cut (otherwise the bitwise
+        test above would be vacuous)."""
+        from ptmcmcsampler_tpu.ops.nuts_pallas import fused_nuts_trees, make_nuts_pallas  # noqa: F401
+
+        cov = np.array([[1.0, 0.6], [0.6, 2.0]], np.float64)
+        _, _, func_grad = _gauss_model(cov)
+        ctx = _ctx(2, cov)
+        rng = np.random.default_rng(0)
+        n, d = 128, 2
+        q0 = jnp.asarray(rng.normal(0, 1, (n, d)), jnp.float32)
+        r0 = jnp.asarray(rng.normal(0, 1, (n, d)), jnp.float32)
+        beta = jnp.ones((n,))
+        eps = jnp.full((n,), 0.35)
+        expo = jnp.asarray(rng.exponential(size=n), jnp.float32)
+        dirs = jnp.asarray(np.sign(rng.normal(size=(n, 2))), jnp.float32)
+        accu = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+        resu = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+        *_, alive = fused_nuts_trees(
+            q0, r0, beta, eps, expo, dirs, accu, resu, ctx.chol,
+            func_grad=func_grad, ndim=d, max_depth=2,
+        )
+        alive = np.asarray(alive)
+        assert alive.sum() > 0  # some trees cut by the depth-2 cap
+        assert alive.sum() < n  # some completed
