@@ -704,6 +704,44 @@ class PTSampler:
         if profile_dir is not None:
             jax.profiler.start_trace(profile_dir)
 
+        def _save_ckpt(st, it_now):
+            save_checkpoint(
+                ckpt_path, st,
+                meta=dict(iter=int(it_now), niter=int(Niter), thin=int(thin),
+                          isave=int(isave), drains=int(self._drain_count),
+                          swap_mode=config.swap_mode),
+            )
+
+        # Double-buffered dispatch for the common single-process fixed-Niter
+        # case: the next block is dispatched (async) before the previous one
+        # is drained, so host-side I/O and the device->host sync round-trip
+        # overlap device compute instead of idling the chip. neff termination
+        # and multi-process runs keep the serial loop (their stop decision
+        # must see the freshly drained history each block).
+        if (
+            not self._multi and neff is None and not run_complete
+            and it < Niter - (Niter % thin)
+        ):
+            pending = None
+            while it < Niter - (Niter % thin):
+                todo_iters = Niter - it
+                rows = min(rows_per_block, max(todo_iters // thin, 1))
+                state, out = run_block(state, rows)  # async dispatch
+                it += rows * thin
+                if pending is not None:
+                    p_state, p_out, p_it = pending
+                    self._drain_block(p_state, p_out, p_it, tstart, Niter, writer, config)
+                    self._drain_count += 1
+                    _save_ckpt(p_state, p_it)
+                pending = (state, out, it)
+                self.state = state
+            p_state, p_out, p_it = pending
+            self._drain_block(p_state, p_out, p_it, tstart, Niter, writer, config)
+            self._drain_count += 1
+            _save_ckpt(p_state, p_it)
+            run_complete = True
+            message = "\nRun Complete"
+
         while not run_complete:
             todo_iters = Niter - it
             rows = min(rows_per_block, max(todo_iters // thin, 1))
@@ -747,13 +785,7 @@ class PTSampler:
                                   swap_mode=config.swap_mode),
                     )
             else:
-                save_checkpoint(
-                    ckpt_path, state,
-                    meta=dict(iter=int(it), niter=int(Niter), thin=int(thin),
-                              isave=int(isave),
-                              drains=int(self._drain_count),
-                              swap_mode=config.swap_mode),
-                )
+                _save_ckpt(state, it)
 
         if profile_dir is not None:
             jax.profiler.stop_trace()
