@@ -101,12 +101,14 @@ class SamplerConfig:
     # stacked evaluate-all-branches fallback below that; "rotation"/"stacked"
     # force one. Rotation quantizes weights to the nearest 1/nchains.
     per_chain_mode: str = "auto"
-    # DE pair selection: "rolled" (default; one shared ordered-distinct shift
-    # pair per iteration — per-chain marginal law identical to the reference,
-    # gather-free on TPU) or "iid" (reference-literal independent pairs per
-    # chain; costs a per-element gather at large chain batches). See
-    # proposals/de.py.
-    de_pair: str = "rolled"
+    # DE pair selection: "blocked" (default; independent ordered-distinct
+    # pairs per de_block-chain group — per-chain marginal law identical to
+    # the reference, gather cost /de_block), "iid" (reference-literal
+    # independent pairs per chain), or "rolled" (fully shared shifts:
+    # gather-free but synchronizes mode jumps across chains on multimodal
+    # targets — see proposals/de.py warning). See PROFILE_r05.md §4.
+    de_pair: str = "blocked"
+    de_block: int = 8  # chains per shared DE pair in "blocked" mode
     swap_mode: str = "sweep"  # "sweep" (reference parity) or "deo" (even/odd)
     adapt_from: str = "cold"  # covariance data source: "cold" chain or "all"
     # Adaptive temperature-ladder geometry (Vousden+ 2016; beyond-reference,
@@ -159,8 +161,10 @@ class SamplerConfig:
             raise ValueError(f"unknown jump_select {self.jump_select!r}")
         if self.swap_mode not in ("sweep", "deo"):
             raise ValueError(f"unknown swap_mode {self.swap_mode!r}")
-        if self.de_pair not in ("rolled", "iid"):
+        if self.de_pair not in ("blocked", "rolled", "iid"):
             raise ValueError(f"unknown de_pair {self.de_pair!r}")
+        if self.de_block < 1:
+            raise ValueError("de_block must be >= 1")
         if self.nuts_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown nuts_impl {self.nuts_impl!r}")
         if self.pallas_nuts_block_n < 128 or self.pallas_nuts_block_n % 128:

@@ -171,10 +171,15 @@ def build_jump_branches(config: SamplerConfig, func_grad=None, logp=None):
         )
     branches = []
     for spec in config.jumps:
-        if spec.kind == KIND_DE and config.de_pair == "rolled":
-            # Batch-level kernel: the shared shift pair is drawn once per
-            # iteration for the whole replica block (proposals/de.py).
-            kernel = de.make_de_batch(config)
+        if spec.kind == KIND_DE and config.de_pair in ("blocked", "rolled"):
+            # Batch-level kernels: pair draws shared per chain group
+            # ("blocked", default) or per iteration ("rolled") —
+            # proposals/de.py documents the trade-off.
+            kernel = (
+                de.make_de_blocked(config)
+                if config.de_pair == "blocked"
+                else de.make_de_batch(config)
+            )
 
             def branch(keys, x, betas, it, ctx, ss, _kernel=kernel):
                 return _kernel(keys, x, betas, it, ctx, ss)

@@ -165,6 +165,10 @@ class PTSampler:
         use_pallas=None,
         nuts_impl="auto",
         host_history_bytes=2 * 1024**3,
+        de_pair="blocked",
+        de_block=8,
+        per_chain_mode="auto",
+        nuts_pass1_depth=4,
     ):
         del comm  # MPI compat shim: distribution is mesh-based here.
         self.ndim = int(ndim)
@@ -178,6 +182,13 @@ class PTSampler:
         self.temp_axis = temp_axis
         self.chain_axis = chain_axis
         self.jump_select = jump_select
+        # DE pair selection ("blocked" | "iid" | "rolled") and the blocked
+        # group width; per_chain rotation/stacked selection; NUTS two-pass
+        # depth bucketing — see config.SamplerConfig for the trade-offs.
+        self.de_pair = de_pair
+        self.de_block = int(de_block)
+        self.per_chain_mode = per_chain_mode
+        self.nuts_pass1_depth = int(nuts_pass1_depth)
         # None = auto: "deo" when the temperature axis ends up sharded over
         # >1 device (neighbor ppermute exchanges, no GSPMD gathers on the
         # swap path), "sweep" (reference-parity serial sweep) otherwise.
@@ -419,6 +430,10 @@ class PTSampler:
             nuts_impl=self.nuts_impl,
             nuts_max_depth=nuts_max_depth,
             jump_select=self.jump_select,
+            per_chain_mode=self.per_chain_mode,
+            de_pair=self.de_pair,
+            de_block=self.de_block,
+            nuts_pass1_depth=self.nuts_pass1_depth,
             swap_mode=self._resolved_swap_mode(),
             adapt_from=self.adapt_from,
             dtype=self.dtype,

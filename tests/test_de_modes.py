@@ -18,7 +18,7 @@ from ptmcmcsampler_tpu.config import JumpSpec, KIND_DE, KIND_SCAM, SamplerConfig
 from ptmcmcsampler_tpu.kernel import build_step
 from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
 from ptmcmcsampler_tpu.proposals.base import ProposalContext
-from ptmcmcsampler_tpu.proposals.de import make_de_batch
+from ptmcmcsampler_tpu.proposals.de import make_de_batch, make_de_blocked
 from ptmcmcsampler_tpu.state import init_state
 from ptmcmcsampler_tpu import utils
 
@@ -110,7 +110,7 @@ def test_rolled_vs_iid_statistically_equivalent():
         return jnp.where(jnp.all(jnp.abs(x) < 20.0), 0.0, -jnp.inf)
 
     results = {}
-    for mode in ("rolled", "iid"):
+    for mode in ("blocked", "rolled", "iid"):
         cfg = SamplerConfig(
             ndim=2, ntemps=2, nchains=48, groups=((0, 1),),
             jumps=(
@@ -139,8 +139,58 @@ def test_rolled_vs_iid_statistically_equivalent():
         cold = np.moveaxis(np.asarray(out.x[:, 0]), 1, 2).reshape(-1, 2)
         results[mode] = (acc_rate, cold.mean(axis=0), cold.std(axis=0))
 
-    acc_r, mean_r, std_r = results["rolled"]
     acc_i, mean_i, std_i = results["iid"]
-    assert abs(acc_r - acc_i) < 0.05, (acc_r, acc_i)
-    np.testing.assert_allclose(std_r, std_i, rtol=0.12)
-    np.testing.assert_allclose(mean_r, mean_i, atol=0.15)
+    for mode in ("blocked", "rolled"):
+        acc_r, mean_r, std_r = results[mode]
+        assert abs(acc_r - acc_i) < 0.05, (mode, acc_r, acc_i)
+        np.testing.assert_allclose(std_r, std_i, rtol=0.12, err_msg=mode)
+        np.testing.assert_allclose(mean_r, mean_i, atol=0.15, err_msg=mode)
+
+
+def test_blocked_marginal_pair_law_per_chain():
+    """Blocked mode: every chain's pair law is the reference's uniform
+    ordered-distinct draw (groups share draws; marginals are exact)."""
+    nvalid = 4
+    nchains = 6  # 3 groups of 2 at de_block=2
+    cfg = SamplerConfig(
+        ndim=1, ntemps=1, nchains=nchains, groups=((0,),),
+        jumps=(JumpSpec("de", KIND_DE, 1),), de_pair="blocked", de_block=2,
+    )
+    de_b = make_de_blocked(cfg)
+    vals = np.array([0.0, 1.0, 3.0, 9.0], np.float32)
+    ctx = ProposalContext(
+        group_u=(jnp.eye(1),), group_s=(jnp.ones(1),),
+        chol=jnp.eye(1), chol_inv=jnp.eye(1),
+        de_buf=jnp.asarray(vals[None, :]),
+        de_valid=jnp.asarray(nvalid, jnp.int32),
+    )
+    n = 30000
+    base_keys = jax.random.split(jax.random.key(9), n)
+    x = jnp.zeros((1, 1, nchains), jnp.float32)
+    betas = jnp.ones((1,), jnp.float32)
+
+    def draw(k):
+        keys = utils.split_grid(k, (1, nchains))
+        q, _, _ = de_b(keys, x, betas, jnp.asarray(0, jnp.int32), ctx, {})
+        return q[0, 0, :]
+
+    deltas = np.asarray(jax.jit(jax.vmap(draw))(base_keys))  # [n, nchains]
+    diffs = {}
+    for a in range(nvalid):
+        for b in range(nvalid):
+            if a != b:
+                diffs[(a, b)] = vals[a] - vals[b]
+    for chain in range(nchains):
+        d = deltas[:, chain]
+        counts = {p: int(np.sum(np.isclose(d, v, atol=1e-6))) for p, v in diffs.items()}
+        total = sum(counts.values())
+        assert total > n * 0.35, total
+        for p, cnt in counts.items():
+            assert abs(cnt / total - 1 / 12) < 0.02, (chain, p, cnt / total)
+    # chains within a group share the pair (equal deltas whenever both drew
+    # mode jumps, ~P(mode)^2 = 0.25); different groups share only by chance
+    # (~0.25/12). Scales are still per-chain, so non-mode deltas differ.
+    same_group = np.mean(deltas[:, 0] == deltas[:, 1])
+    diff_group = np.mean(deltas[:, 0] == deltas[:, 2])
+    assert same_group > 0.2, same_group
+    assert diff_group < 0.1, diff_group
