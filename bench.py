@@ -72,7 +72,7 @@ def main(
     ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=10,
     rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
-    measure_trace=1, de_pair="rolled",
+    measure_trace=1, de_pair="blocked",
 ):
     # nuts_max_depth=10 matches the sampler default (reference-unbounded
     # regime in practice): the tree kernel's block-wide level early-exit
