@@ -627,6 +627,9 @@ class PTSampler:
             state, start_iter = self._try_resume(
                 config, ckpt_path, writer, betas, x0, eval_init, init_key, isave, thin
             )
+        # Resumed runs report "percent of new work" in the progress line
+        # (reference PTMCMCSampler.py:358-366).
+        self._resume_start_iter = start_iter if state is not None else 0
 
         if state is None:
             xs = jnp.asarray(x0, dtype=self.dtype)
@@ -1016,10 +1019,19 @@ class PTSampler:
                 percent = it / Niter * 100
                 acceptance = float(jax.device_get(mean_acc)) / max(it, 1)
                 elapsed = time.time() - tstart
-                sys.stdout.write(
-                    "Finished %2.2f percent in %f s Acceptance rate = %g"
-                    % (percent, elapsed, acceptance)
-                )
+                start = int(getattr(self, "_resume_start_iter", 0) or 0)
+                if start > 0 and Niter > start:
+                    percentnew = (it - start) / (Niter - start) * 100
+                    sys.stdout.write(
+                        "Finished %2.2f percent (%2.2f percent of new work) "
+                        "in %f s Acceptance rate = %g"
+                        % (percent, percentnew, elapsed, acceptance)
+                    )
+                else:
+                    sys.stdout.write(
+                        "Finished %2.2f percent in %f s Acceptance rate = %g"
+                        % (percent, elapsed, acceptance)
+                    )
                 sys.stdout.flush()
 
     def _drain_block(self, state, out, it, tstart, Niter, writer, config):
@@ -1114,10 +1126,21 @@ class PTSampler:
             percent = it / Niter * 100
             acceptance = float(np.asarray(ctr.naccepted)[0].mean()) / max(it, 1)
             elapsed = time.time() - tstart
-            sys.stdout.write(
-                "Finished %2.2f percent in %f s Acceptance rate = %g"
-                % (percent, elapsed, acceptance)
-            )
+            start = int(getattr(self, "_resume_start_iter", 0) or 0)
+            if start > 0 and Niter > start:
+                # Resumed run: also report the percent of NEW work, as the
+                # reference does (PTMCMCSampler.py:358-366).
+                percentnew = (it - start) / (Niter - start) * 100
+                sys.stdout.write(
+                    "Finished %2.2f percent (%2.2f percent of new work) in "
+                    "%f s Acceptance rate = %g"
+                    % (percent, percentnew, elapsed, acceptance)
+                )
+            else:
+                sys.stdout.write(
+                    "Finished %2.2f percent in %f s Acceptance rate = %g"
+                    % (percent, elapsed, acceptance)
+                )
             sys.stdout.flush()
 
     def _try_resume(self, config, ckpt_path, writer, betas, x0, eval_init, init_key, isave, thin):
