@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-4 bench suite: one TPU job at a time, each logged to bench_logs/.
+# Round-5 bench suite: one TPU job at a time, each logged to bench_logs/.
 # Usage: bash tools/run_bench_suite.sh
 set -u
 cd "$(dirname "$0")/.."
@@ -14,6 +14,7 @@ run() {
 run curved_chees                               # headline default ([8 x 8192])
 run curved_chees_4096 nchains=4096
 run curved_chees_ladder adapt_ladder=1
+run curved_de_iid de_pair=iid         # DE-correlation A/B control
 run nuts_parity grad_mode=nuts nchains=4096    # fused tree kernel, depth 10
 run gaussian40 workload=gaussian nchains=4096
 run hierarchical workload=hierarchical nchains=4096  # has the moment QA
