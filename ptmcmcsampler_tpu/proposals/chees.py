@@ -137,14 +137,14 @@ def make_chees(config, func_grad):
             max_n = jnp.max(nsteps)
 
             def body(carry):
+                # Finished lanes take an eps=0 step — an exact identity
+                # leapfrog (z + 0*rh, r + 0*g, grad/logp recomputed at the
+                # unchanged point) — instead of masked selects on four
+                # carries: one [T, C] where replaces four full-state wheres
+                # per step (~10% of the headline iteration, round-5 trace).
                 i, z, r, g, logp = carry
-                zn, rn, gn, logpn = lf(z, r, g, eps_t, betas)
-                active = i < nsteps  # [T, C]
-                act3 = active[:, None, :]
-                z = jnp.where(act3, zn, z)
-                r = jnp.where(act3, rn, r)
-                g = jnp.where(act3, gn, g)
-                logp = jnp.where(active, logpn, logp)
+                e_step = jnp.where(i < nsteps, eps_t, jnp.zeros((), dt))
+                z, r, g, logp = lf(z, r, g, e_step, betas)
                 return i + 1, z, r, g, logp
 
             def cond(carry):
