@@ -186,6 +186,8 @@ def build_step(
                 [(int(a) == 0) or (int(a) in crossed) for a in act_np]
             )
             probs = w_np * active
+            if probs.sum() <= 0:  # degenerate: nothing active yet
+                probs = np.asarray(w_np, np.float64)
             raw = probs / probs.sum() * c
             counts = np.floor(raw).astype(int)
             frac = raw - counts

@@ -495,7 +495,15 @@ class PTSampler:
         NUTSmaxdepth=10,
     ):
         """Run PTMCMC sampling (reference ``sample``, PTMCMCSampler.py:374-528)."""
-        del maxIter, i0  # maxIter only differentiated MPI ranks in the reference.
+        if (maxIter is not None or i0 != 0) and self.verbose:
+            # In the reference these size per-rank in-memory histories
+            # (PTMCMCSampler.py:205-212, :419-421); blocks here are drained
+            # to disk every isave, so there is nothing for them to size.
+            print(
+                "NOTE: maxIter/i0 are accepted for signature parity but have "
+                "no effect (history is block-drained; see MIGRATION.md)"
+            )
+        del maxIter, i0
         Niter = int(Niter)
         if isave % thin != 0:
             raise ValueError(

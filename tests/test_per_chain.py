@@ -129,3 +129,37 @@ def test_per_chain_matches_shared_statistics():
     np.testing.assert_allclose(m_p, m_s, atol=0.1)
     np.testing.assert_allclose(s_p, s_s, rtol=0.1)
     np.testing.assert_allclose(s_p, np.ones(ndim), rtol=0.12)
+
+
+def test_rotation_with_chees_runs():
+    """ChEES inside per_chain rotation: the chees_* step-size entries are
+    per-temperature and must broadcast row-wide from the ChEES slice."""
+    from ptmcmcsampler_tpu.config import JumpSpec, KIND_AM, KIND_CHEES
+
+    logl, logp, func_grad = _gaussian(2)
+    cfg = SamplerConfig(
+        ndim=2, ntemps=2, nchains=128, groups=((0, 1),),
+        jumps=(
+            JumpSpec("am", KIND_AM, 20),
+            JumpSpec("ChEESHMCJump", KIND_CHEES, 20),
+        ),
+        tskip=10, cov_update=100, burn=40, thin=2, de_size=128,
+        jump_select="per_chain", per_chain_mode="rotation",
+        hmc_stepsize=0.1, chees_max_steps=16,
+    )
+    step, run_block = build_step(cfg, logl, logp, func_grad)
+    ladder = temperature_ladder(2, 2)
+    _, betas = ladder_betas(ladder)
+    xs = jnp.zeros((2, 128, 2)) + 0.3
+    ll0 = jax.vmap(jax.vmap(logl))(xs)
+    lp0 = jax.vmap(jax.vmap(logp))(xs)
+    state = init_state(cfg, jax.random.key(4), np.zeros(2) + 0.3,
+                       np.eye(2) * 0.2, betas, ll0, lp0)
+    state, out = run_block(state, 60)
+    assert np.isfinite(np.asarray(out.x)).all()
+    prop = np.asarray(state.counters.jump_proposed).sum(axis=(1, 2))
+    assert (prop > 0).all()
+    # chees_* stayed replicated across the chain axis (per-temp semantics)
+    eps = np.asarray(state.stepsize.chees_eps)
+    assert np.all(eps == eps[:, :1])
+    assert np.all(eps > 0)
