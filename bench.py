@@ -72,7 +72,7 @@ def main(
     ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=10,
     rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
-    measure_trace=1, de_pair="blocked",
+    measure_trace=1, de_pair="blocked", nuts_pass1_depth=4,
 ):
     # nuts_max_depth=10 matches the sampler default (reference-unbounded
     # regime in practice): the tree kernel's block-wide level early-exit
@@ -194,6 +194,7 @@ def main(
         # adaptation during burn-in (kernel.py pt_swap).
         adapt_ladder=bool(adapt_ladder),
         de_pair=de_pair,
+        nuts_pass1_depth=int(nuts_pass1_depth),
     )
     step, run_block = build_step(
         cfg, model.lnlikefn, model.lnpriorfn, func_grad if with_grads else None
