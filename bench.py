@@ -111,7 +111,7 @@ def main(
     import jax.numpy as jnp
 
     from ptmcmcsampler_tpu.config import SamplerConfig, build_default_jumps
-    from ptmcmcsampler_tpu.diagnostics import multichain_ess
+    from ptmcmcsampler_tpu.diagnostics import multichain_ess, split_rhat
     from ptmcmcsampler_tpu.kernel import build_step
     from ptmcmcsampler_tpu.ladder import ladder_betas, temperature_ladder
     from ptmcmcsampler_tpu.models import (
@@ -255,6 +255,11 @@ def main(
     ess_min = float(np.min(ess))
     ess_per_sec = ess_min / elapsed
     iters_per_sec = timed_iters / elapsed
+    # Convergence evidence independent of any closed-form target (the only
+    # QA available for workloads like gaussian200 where box truncation
+    # leaves no analytic moments): split Gelman-Rubin over the pooled
+    # cold-chain batch.
+    rhat_max = float(np.nanmax(split_rhat(chains)))
 
     # Statistical QA: for workloads with closed-form posterior moments, the
     # bench asserts the sampled mean agrees within Monte-Carlo error, so a
@@ -359,6 +364,7 @@ def main(
         "hbm_logical_pct": round(hbm_pct, 2) if hbm_pct is not None else None,
         "moments_ok": moments_ok,
         "moments_max_z": moments_max_z,
+        "rhat_max": round(rhat_max, 5),
     }
     if measured is not None:
         per = measured.get("per_iter", {})
