@@ -69,7 +69,7 @@ def tpu_alive(timeout_s=300):
 
 
 def main(
-    ntemps=8, nchains=8192, burn_iters=3000, timed_iters=12000, with_grads=True,
+    ntemps=8, nchains=16384, burn_iters=3000, timed_iters=12000, with_grads=True,
     block=1000, workload="curved", grad_mode="chees", nuts_max_depth=10,
     rng_impl="rbg", tskip=5, force_cpu=0, use_pallas=0, adapt_ladder=0,
     measure_trace=1, de_pair="blocked", nuts_pass1_depth=4,
@@ -83,10 +83,11 @@ def main(
     # (adaptive fixed-length trajectories) instead of NUTS (the per-chain
     # variable-depth tree serializes up to 2^depth masked leapfrog leaves;
     # grad_mode="nuts" now rides the fused Pallas tree kernel on TPU), and
-    # the chain batch rides the nearly-free vmap axis: 8192 chains measured
-    # +9.4% ESS/s over 4096 (293,231 vs 268,070 eff samples/s/chip) and is
-    # near the knee — per-chain mixing efficiency is constant, so doubling
-    # again is flat.
+    # the chain batch rides the nearly-free vmap axis. After the round-5
+    # kernel rebuild the knee moved: 16384 chains measured +28% ESS/s over
+    # 8192 (1.78M vs 1.39M eff samples/s/chip) and 32768 is flat (1.77M) —
+    # the program is HBM-bound, so past the knee bytes grow as fast as
+    # pooled ESS.
     import jax
 
     if force_cpu:
