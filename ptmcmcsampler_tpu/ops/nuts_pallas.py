@@ -534,17 +534,11 @@ def make_nuts_pallas(config, func_grad, interpret=None):
             # the composite is bitwise the plain depth-10 kernel — while the
             # packed tail's dead lanes make whole blocks skip every level.
             resu1 = gen_resu(k_res, d1).astype(dt)
-            # Pass 1 runs (almost) all of its <= 2**d1 - 1 leaves for every
-            # block — at shallow depth the all-lanes-done early exit rarely
-            # fires — so wider lane blocks purely amortize the kernel's
-            # per-op issue overhead (the trees are issue-bound at small
-            # ndim). 256 is the widest known-good Mosaic block at this
-            # stack depth (PROFILE_r04.md block sweep).
             q1, logp0, lp1, alpha1, nalpha1, alive1 = fused_nuts_trees(
                 q0, r0, beta, epsilon, expo, dirs[:, :d1], accu[:, :d1],
                 resu1, ctx.chol,
                 func_grad=func_grad, ndim=ndim, max_depth=d1,
-                block_n=max(block_n, 256), interpret=interpret,
+                block_n=block_n, interpret=interpret,
             )
             notdone = alive1 > 0
             nd = notdone.astype(jnp.int32)
