@@ -233,17 +233,29 @@ def main(
     # before syncing the previous one, so the host/tunnel round-trip between
     # blocks overlaps device compute instead of idling the chip (~80 ms per
     # block through the axon tunnel = 25% of wall at round-5 speeds).
+    #
+    # The retained cold-chain window ([timed_iters, D, C] on device) feeds
+    # the ESS/moment estimators; at high ndim x nchains it would exceed HBM
+    # (40-D x 8192 chains = 15.7 GB -> RESOURCE_EXHAUSTED), so chains are
+    # strided down to a ~4 GB budget. The pooled ESS is then computed over
+    # the retained subset ONLY and reported as such (ess_chains_used) — an
+    # honest underestimate, never an extrapolation.
+    ess_stride = max(1, int(np.ceil(timed_iters * ndim * nchains * 4 / 4e9)))
+    csub = len(range(0, nchains, ess_stride))
+    if ess_stride > 1:
+        _log(f"cold-chain retention strided: {csub}/{nchains} chains kept "
+             "for the ESS/moment estimators (device-memory budget)")
     nblocks = timed_iters // block
     t0 = time.time()
     cold_blocks = []
     state, out = run_block(state, block)
     for bi in range(1, nblocks):
         state, out_next = run_block(state, block)  # async dispatch
-        cold_blocks.append(out.x[:, 0])  # [block, D, C] cold rung, on device
+        cold_blocks.append(out.x[:, 0, :, ::ess_stride])  # [block, D, Csub]
         sync(out.lnlike)
         _log(f"timed block {bi}/{nblocks} at {time.time() - t0:.1f}s")
         out = out_next
-    cold_blocks.append(out.x[:, 0])
+    cold_blocks.append(out.x[:, 0, :, ::ess_stride])
     sync(out.lnlike)
     _log(f"timed block {nblocks}/{nblocks} at {time.time() - t0:.1f}s")
     elapsed = time.time() - t0
@@ -366,6 +378,7 @@ def main(
         "moments_ok": moments_ok,
         "moments_max_z": moments_max_z,
         "rhat_max": round(rhat_max, 5),
+        "ess_chains_used": csub,
     }
     if measured is not None:
         per = measured.get("per_iter", {})
