@@ -131,7 +131,9 @@ class PTSampler:
 
     Drop-in constructor signature for the reference (PTMCMCSampler.py:75-93)
     plus TPU extensions (``ntemps``, ``nchains``, ``dtype``, ``jump_select``,
-    ``swap_mode``, ``adapt_from``, ``mesh``).
+    ``per_chain_mode``, ``swap_mode``, ``adapt_from``, ``mesh``,
+    ``rng_impl``, ``nuts_impl``, ``nuts_pass1_depth``, ``de_pair``,
+    ``de_block``); see MIGRATION.md for the kwarg-by-kwarg map.
     """
 
     def __init__(
