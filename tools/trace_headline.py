@@ -8,7 +8,7 @@ operand bytes, while the trace gives the actual per-op device time, the
 actual op count per iteration (dispatch pressure), and — where the XLA
 op-metrics are available — executed bytes.
 
-Usage: python tools/trace_headline.py [nchains=8192] [iters=500] [out=/tmp/headline_trace]
+Usage: python tools/trace_headline.py [nchains=16384] [iters=500] [out=/tmp/headline_trace]
 Writes a JSON summary to stdout (one line) and a readable top-op table to
 stderr; the raw trace stays in ``out`` for tensorboard.
 """
@@ -80,7 +80,7 @@ def main():
         if "=" in arg:
             k, v = arg.split("=", 1)
             kwargs[k] = v
-    nchains = int(kwargs.get("nchains", "8192"))
+    nchains = int(kwargs.get("nchains", "16384"))
     iters = int(kwargs.get("iters", "500"))
     out = kwargs.get("out", "/tmp/headline_trace")
     grad_mode = kwargs.get("grad_mode", "chees")
